@@ -1,0 +1,277 @@
+"""RoIAlign (aligned=True) as fixed-shape gathers — TPU-native.
+
+Semantics match mmcv's ``roi_align(..., 'avg', aligned=True)`` (bound in the
+reference at configs/kitti_multiclass.py:40,85 and called directly at
+monorun_roi_head.py:212,521 and masked_dense_target.py:39-43):
+
+* continuous RoI coords are shifted by -0.5 (aligned),
+* each output bin averages ``ns x ns`` bilinear samples,
+* samples outside ``[-1, size]`` contribute zero,
+* ``sampling_ratio=0`` means per-RoI adaptive ``ns = ceil(bin_size)`` — here
+  realised as a static ``max_ratio`` grid with per-RoI validity masks so the
+  shape stays fixed under jit.
+
+Multi-level extraction (mmdet SingleRoIExtractor semantics: level =
+floor(log2(sqrt(area)/finest_scale + 1e-6)) clamped) is done with a single
+gather over a flattened feature pyramid, so level assignment is pure index
+arithmetic instead of five masked passes.
+
+Layout is channels-last (B, H, W, C).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _bilinear_taps(
+    x: Array, y: Array, height: int, width: int
+) -> Tuple[Array, Array]:
+    """4-tap indices and weights for bilinear sampling at (x, y).
+
+    Returns (idx (..., 4) flat y*W+x int32, weights (..., 4)); out-of-range
+    samples (beyond [-1, size]) get zero weight.
+    """
+    valid = (y >= -1.0) & (y <= height) & (x >= -1.0) & (x <= width)
+    y = jnp.clip(y, 0.0, height - 1)
+    x = jnp.clip(x, 0.0, width - 1)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    ly = y - y0
+    lx = x - x0
+    hy, hx = 1.0 - ly, 1.0 - lx
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, height - 1)
+    x1i = jnp.minimum(x0i + 1, width - 1)
+    idx = jnp.stack(
+        [
+            y0i * width + x0i,
+            y0i * width + x1i,
+            y1i * width + x0i,
+            y1i * width + x1i,
+        ],
+        -1,
+    )
+    w = jnp.stack([hy * hx, hy * lx, ly * hx, ly * lx], -1)
+    w = w * valid[..., None]
+    return idx, w
+
+
+def _sample_grid(
+    rois_xyxy: Array,       # (n, 4) in feature-level coords (already scaled)
+    out_size: Tuple[int, int],
+    max_ratio: int,
+    adaptive: bool,
+) -> Tuple[Array, Array, Array]:
+    """Sample coordinates (n, P, 2) and per-sample averaging weights (n, P).
+
+    P = oh * ow * max_ratio^2. For adaptive mode, samples beyond the per-RoI
+    ``ceil(bin)`` grid get zero averaging weight; weights sum to 1 per bin.
+    """
+    oh, ow = out_size
+    n = rois_xyxy.shape[0]
+    x1, y1, x2, y2 = [rois_xyxy[:, i] for i in range(4)]
+    # aligned=True: half-pixel shift happens in the caller (scale then -0.5)
+    roi_w = x2 - x1
+    roi_h = y2 - y1
+    bin_w = roi_w / ow
+    bin_h = roi_h / oh
+
+    if adaptive:
+        gw = jnp.clip(jnp.ceil(roi_w / ow), 1, max_ratio).astype(jnp.int32)
+        gh = jnp.clip(jnp.ceil(roi_h / oh), 1, max_ratio).astype(jnp.int32)
+    else:
+        gw = jnp.full((n,), max_ratio, jnp.int32)
+        gh = jnp.full((n,), max_ratio, jnp.int32)
+
+    iy = jnp.arange(oh)
+    ix = jnp.arange(ow)
+    ky = jnp.arange(max_ratio)
+    kx = jnp.arange(max_ratio)
+
+    # y coordinate: (n, oh, ky) ; x coordinate: (n, ow, kx)
+    ys = (
+        y1[:, None, None]
+        + iy[None, :, None] * bin_h[:, None, None]
+        + (ky[None, None, :] + 0.5) * bin_h[:, None, None] / gh[:, None, None]
+    )
+    xs = (
+        x1[:, None, None]
+        + ix[None, :, None] * bin_w[:, None, None]
+        + (kx[None, None, :] + 0.5) * bin_w[:, None, None] / gw[:, None, None]
+    )
+    my = (ky[None, None, :] < gh[:, None, None]).astype(ys.dtype)
+    mx = (kx[None, None, :] < gw[:, None, None]).astype(xs.dtype)
+
+    # broadcast to (n, oh, ow, ky, kx)
+    yy = jnp.broadcast_to(ys[:, :, None, :, None], (n, oh, ow, max_ratio, max_ratio))
+    xx = jnp.broadcast_to(xs[:, None, :, None, :], (n, oh, ow, max_ratio, max_ratio))
+    mm = my[:, :, None, :, None] * mx[:, None, :, None, :]
+    mm = jnp.broadcast_to(mm, (n, oh, ow, max_ratio, max_ratio))
+    count = (gh * gw).astype(ys.dtype)
+    avg_w = mm / count[:, None, None, None, None]
+
+    P = oh * ow * max_ratio * max_ratio
+    return xx.reshape(n, P), yy.reshape(n, P), avg_w.reshape(n, P)
+
+
+def roi_align(
+    features: Array,        # (B, H, W, C)
+    rois: Array,            # (n, 5): [batch_idx, x1, y1, x2, y2] image coords
+    out_size: Tuple[int, int],
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 0,
+    max_ratio: int = 4,
+    aligned: bool = True,
+) -> Array:
+    """Single-level RoIAlign; returns (n, oh, ow, C)."""
+    B, H, W, C = features.shape
+    oh, ow = out_size
+    offset = 0.5 if aligned else 0.0
+    boxes = rois[:, 1:5] * spatial_scale - offset
+    adaptive = sampling_ratio == 0
+    mr = max_ratio if adaptive else sampling_ratio
+    xs, ys, avg_w = _sample_grid(boxes, (oh, ow), mr, adaptive)
+
+    idx, w = _bilinear_taps(xs, ys, H, W)               # (n, P, 4)
+    base = rois[:, 0].astype(jnp.int32) * (H * W)       # (n,)
+    flat = features.reshape(B * H * W, C)
+    out = jnp.zeros((rois.shape[0], xs.shape[1], C), features.dtype)
+    for t in range(4):
+        g = jnp.take(flat, base[:, None] + idx[..., t], axis=0)  # (n, P, C)
+        out = out + g * w[..., t : t + 1]
+    out = out * avg_w[..., None]
+    n = rois.shape[0]
+    out = out.reshape(n, oh, ow, mr * mr, C).sum(axis=3)
+    return out
+
+
+def assign_fpn_levels(
+    rois: Array, num_levels: int, finest_scale: float
+) -> Array:
+    """mmdet SingleRoIExtractor level mapping (int32, (n,))."""
+    scale = jnp.sqrt(
+        jnp.clip(rois[:, 3] - rois[:, 1], 0, None)
+        * jnp.clip(rois[:, 4] - rois[:, 2], 0, None)
+    )
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+
+
+def multilevel_roi_align(
+    features: Sequence[Array],   # per level (B, H_l, W_l, C)
+    rois: Array,                 # (n, 5) image coords
+    strides: Sequence[int],
+    out_size: Tuple[int, int],
+    finest_scale: float = 56.0,
+    sampling_ratio: int = 0,
+    max_ratio: int = 4,
+) -> Array:
+    """FPN RoIAlign via one gather over a flattened pyramid.
+
+    Equivalent to mmdet's SingleRoIExtractor + mmcv RoIAlign(aligned) but
+    with the level select folded into index arithmetic (fixed shapes, one
+    kernel). Returns (n, oh, ow, C).
+    """
+    assert len(features) == len(strides)
+    B = features[0].shape[0]
+    C = features[0].shape[-1]
+    oh, ow = out_size
+    n = rois.shape[0]
+    L = len(features)
+
+    sizes = [(f.shape[1], f.shape[2]) for f in features]
+    level_offsets = []
+    off = 0
+    for (h, w) in sizes:
+        level_offsets.append(off)
+        off += h * w
+    total = off
+    pyramid = jnp.concatenate(
+        [f.reshape(B, -1, C) for f in features], axis=1
+    ).reshape(B * total, C)
+
+    lvls = assign_fpn_levels(rois, L, finest_scale)     # (n,)
+    stride_arr = jnp.asarray([float(s) for s in strides])
+    h_arr = jnp.asarray([h for h, _ in sizes], jnp.int32)
+    w_arr = jnp.asarray([w for _, w in sizes], jnp.int32)
+    off_arr = jnp.asarray(level_offsets, jnp.int32)
+
+    scale_n = 1.0 / stride_arr[lvls]                     # (n,)
+    Hn = h_arr[lvls]
+    Wn = w_arr[lvls]
+    boxes = rois[:, 1:5] * scale_n[:, None] - 0.5
+
+    adaptive = sampling_ratio == 0
+    mr = max_ratio if adaptive else sampling_ratio
+    xs, ys, avg_w = _sample_grid(boxes, (oh, ow), mr, adaptive)
+
+    # per-RoI bilinear taps against its own level's H/W
+    valid = (
+        (ys >= -1.0)
+        & (ys <= Hn[:, None])
+        & (xs >= -1.0)
+        & (xs <= Wn[:, None])
+    )
+    y = jnp.clip(ys, 0.0, (Hn[:, None] - 1).astype(ys.dtype))
+    x = jnp.clip(xs, 0.0, (Wn[:, None] - 1).astype(xs.dtype))
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    ly, lx = y - y0, x - x0
+    hy, hx = 1.0 - ly, 1.0 - lx
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, Hn[:, None] - 1)
+    x1i = jnp.minimum(x0i + 1, Wn[:, None] - 1)
+
+    base = (
+        rois[:, 0].astype(jnp.int32) * total + off_arr[lvls]
+    )[:, None]                                           # (n, 1)
+    w_n = Wn[:, None]
+    idx = jnp.stack(
+        [
+            y0i * w_n + x0i,
+            y0i * w_n + x1i,
+            y1i * w_n + x0i,
+            y1i * w_n + x1i,
+        ],
+        -1,
+    )
+    wgt = jnp.stack([hy * hx, hy * lx, ly * hx, ly * lx], -1)
+    wgt = wgt * valid[..., None]
+
+    out = jnp.zeros((n, xs.shape[1], C), features[0].dtype)
+    for t in range(4):
+        g = jnp.take(pyramid, base + idx[..., t], axis=0)
+        out = out + g * wgt[..., t : t + 1]
+    out = out * avg_w[..., None]
+    out = out.reshape(n, oh, ow, mr * mr, C).sum(axis=3)
+    return out
+
+
+def roi_grid_centers(rois: Array, out_size: Tuple[int, int]) -> Array:
+    """Analytic RoIAlign of the pixel-coordinate field ``coord_2d``.
+
+    The reference roi_aligns a dense (u, v) pixel grid (coord_2d) to 28x28
+    (monorun_roi_head.py:212,521). The average of a *linear* field over a
+    symmetric sample grid equals its value at the bin center, so the align
+    reduces to computing bin centers — no gather, no dense field at all.
+    Returns (n, oh, ow, 2) [u, v].
+    """
+    oh, ow = out_size
+    x1 = rois[:, 1] - 0.5
+    y1 = rois[:, 2] - 0.5
+    bw = (rois[:, 3] - rois[:, 1]) / ow
+    bh = (rois[:, 4] - rois[:, 2]) / oh
+    jj = jnp.arange(ow, dtype=rois.dtype)
+    ii = jnp.arange(oh, dtype=rois.dtype)
+    u = x1[:, None] + (jj[None, :] + 0.5) * bw[:, None]   # (n, ow)
+    v = y1[:, None] + (ii[None, :] + 0.5) * bh[:, None]   # (n, oh)
+    uu = jnp.broadcast_to(u[:, None, :], (rois.shape[0], oh, ow))
+    vv = jnp.broadcast_to(v[:, :, None], (rois.shape[0], oh, ow))
+    return jnp.stack([uu, vv], -1)
