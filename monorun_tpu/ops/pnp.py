@@ -1,0 +1,352 @@
+"""Batched uncertainty-weighted PnP — all RoIs solved in parallel on-device.
+
+Replaces the reference's sequential per-RoI host pipeline (OpenCV EPnP +
+RANSAC init, Ceres Levenberg-Marquardt refine, torch J^T J covariance;
+ops/least_squares/pnp_uncert_cpu.py:10-127, src/pnp_uncert_cpu.cpp:245-292,
+pnp_uncert.py:7-87) with a fixed-shape, fully batched formulation:
+
+1. **istd pre-filter** — points whose inverse-std (both channels) is below
+   ``thres * mean`` are excluded (pnp_uncert_cpu.py:164-168 semantics,
+   keep-all fallback when <=4 survive).
+2. **Closed-form yaw-DLT init** — the pose is 4-DoF (yaw + t), so the
+   projection constraints are *linear* in [cos(yaw), sin(yaw), t]:
+       u-row:  c*(fx*x + (cx-u)*z) + s*(fx*z - (cx-u)*x) + fx*tx + (cx-u)*tz = 0
+       v-row:  c*((cy-v)*z)        - s*((cy-v)*x) + fy*ty + (cy-v)*tz = -fy*y
+   A weighted 5x5 normal solve replaces EPnP's control-point machinery and
+   maps directly onto batched matmuls. (cos, sin) is then normalised and t
+   re-solved linearly with yaw fixed.
+3. **Vectorised RANSAC** — H hypotheses per RoI from random minimal subsets
+   (keyed RNG), scored by inlier count under the per-RoI pixel threshold
+   (0.2 * roi height in the reference, uncert_prop_pnp_optimizer.py:86-88);
+   consensus refit on the winner's inliers.
+4. **Batched Levenberg-Marquardt** — fixed-iteration damped Gauss-Newton on
+   [yaw, t] using the analytic clip-aware Jacobians (ops/geometry.py),
+   per-RoI adaptive damping with accept/reject, replacing Ceres.
+5. **Covariance** = (J^T J)^{-1} on inliers with an eigenvalue-guarded
+   fallback mirroring pnp_uncert.py:77-85.
+
+No gradients flow through the solver (the reference wraps its forward in
+torch.no_grad(), pnp_uncert.py:33); callers get stop_gradient outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import approx_hessian, forward_proj, jacobian_and_error
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class PnPConfig:
+    z_min: float = 0.5
+    istd_thres: float = 0.6          # epnp_istd_thres in the reference
+    inlier_opt_only: bool = True
+    ransac_hypotheses: int = 32      # reference: 30 cv2 iterations
+    ransac_min_points: int = 4
+    lm_iters: int = 12
+    lm_lambda_init: float = 1e-4
+    lm_lambda_up: float = 4.0
+    lm_lambda_down: float = 0.25
+    coord_istd_normalize: bool = False
+    eps: float = 1e-6
+
+
+class PnPResult(NamedTuple):
+    valid: Array        # (b,) bool
+    yaw: Array          # (b, 1)
+    t_vec: Array        # (b, 3)
+    pose_cov: Array     # (b, 4, 4)
+    inlier_mask: Array  # (b, n) bool
+
+
+def istd_inlier_mask(istd: Array, thres: float) -> Array:
+    """(b, n, 2) -> (b, n) bool; keep-all fallback when <= 4 survive."""
+    mean = jnp.mean(istd, axis=1, keepdims=True)
+    ok = jnp.all(istd >= thres * mean, axis=2)
+    count = jnp.sum(ok, axis=1, keepdims=True)
+    return jnp.where(count > 4, ok, True)
+
+
+def _dlt_rows(
+    coords_2d: Array, coords_3d: Array, cam_mats: Array
+) -> Tuple[Array, Array]:
+    """Linear system rows: A (b, 2n, 5) and constant b-vec (b, 2n)."""
+    u = coords_2d[..., 0]
+    v = coords_2d[..., 1]
+    x, y, z = coords_3d[..., 0], coords_3d[..., 1], coords_3d[..., 2]
+    fx = cam_mats[:, 0, 0][:, None]
+    fy = cam_mats[:, 1, 1][:, None]
+    cx = cam_mats[:, 0, 2][:, None]
+    cy = cam_mats[:, 1, 2][:, None]
+    zeros = jnp.zeros_like(x)
+    du = cx - u
+    dv = cy - v
+    row_u = jnp.stack(
+        [fx * x + du * z, fx * z - du * x, fx + zeros, zeros, du], -1
+    )
+    row_v = jnp.stack([dv * z, -dv * x, zeros, fy + zeros, dv], -1)
+    b_u = zeros
+    b_v = fy * y
+    A = jnp.concatenate([row_u, row_v], axis=1)      # (b, 2n, 5)
+    bb = jnp.concatenate([b_u, b_v], axis=1)         # (b, 2n)
+    return A, bb
+
+
+def dlt_yaw_pnp(
+    coords_2d: Array,     # (b, n, 2)
+    weights: Array,       # (b, n) combined istd/validity weight
+    coords_3d: Array,     # (b, n, 3)
+    cam_mats: Array,      # (b, 3, 3)
+    eps: float = 1e-8,
+) -> Tuple[Array, Array]:
+    """Weighted closed-form 4-DoF PnP. Returns (yaw (b, 1), t (b, 3))."""
+    A, bb = _dlt_rows(coords_2d, coords_3d, cam_mats)
+    w2 = jnp.concatenate([weights, weights], axis=1)  # (b, 2n)
+    Aw = A * w2[..., None]
+    ata = jnp.einsum("bni,bnj->bij", Aw, A) + eps * jnp.eye(5)
+    atb = jnp.einsum("bni,bn->bi", Aw, bb)
+    sol = jnp.linalg.solve(ata, -atb[..., None])[..., 0]  # (b, 5)
+    c, s = sol[:, 0], sol[:, 1]
+    norm = jnp.sqrt(jnp.clip(c * c + s * s, eps, None))
+    yaw = jnp.arctan2(s / norm, c / norm)[:, None]
+
+    # refit t with yaw fixed (3-var weighted LS): rows A_t * t = -(A_cs@[c,s]+b)
+    A_cs = A[..., :2]
+    A_t = A[..., 2:]
+    cs = jnp.stack([jnp.cos(yaw[:, 0]), jnp.sin(yaw[:, 0])], -1)  # (b, 2)
+    rhs = -(jnp.einsum("bnk,bk->bn", A_cs, cs) + bb)
+    At_w = A_t * w2[..., None]
+    ata_t = jnp.einsum("bni,bnj->bij", At_w, A_t) + eps * jnp.eye(3)
+    atb_t = jnp.einsum("bni,bn->bi", At_w, rhs)
+    t = jnp.linalg.solve(ata_t, atb_t[..., None])[..., 0]
+    return yaw, t
+
+
+def _reproj_errors(
+    coords_2d: Array, coords_3d: Array, cam_mats: Array,
+    yaw: Array, t: Array, z_min: float,
+) -> Array:
+    """Unclipped L2 pixel reprojection error (b, n) (cv2 RANSAC metric)."""
+    from .geometry import yaw_rotation_matrix
+
+    rot = yaw_rotation_matrix(yaw[:, 0])
+    cam = jnp.einsum("bij,bnj->bni", rot, coords_3d) + t[:, None, :]
+    z = jnp.clip(cam[..., 2:3], z_min, None)
+    uv = jnp.einsum("bij,bnj->bni", cam_mats[:, :2, :2], cam[..., :2] / z) \
+        + cam_mats[:, None, :2, 2]
+    return jnp.linalg.norm(uv - coords_2d, axis=-1)
+
+
+def ransac_yaw_pnp(
+    rng: Array,
+    coords_2d: Array,     # (b, n, 2)
+    istd: Array,          # (b, n, 2)
+    valid: Array,         # (b, n) istd pre-filter mask
+    coords_3d: Array,     # (b, n, 3)
+    cam_mats: Array,      # (b, 3, 3)
+    thr: Array,           # (b,) pixel threshold
+    cfg: PnPConfig,
+) -> Tuple[Array, Array, Array]:
+    """Vectorised fixed-shape RANSAC. Returns (yaw, t, inlier_mask)."""
+    b, n = valid.shape
+    H = cfg.ransac_hypotheses
+    k = cfg.ransac_min_points
+    w_point = jnp.mean(istd, axis=-1) * valid
+
+    # sample k valid indices per hypothesis: random keys, invalid pushed last
+    keys = jax.random.uniform(rng, (b, H, n)) + jnp.where(valid, 0.0, 10.0)[:, None, :]
+    _, subset = jax.lax.top_k(-keys, k)               # (b, H, k) smallest keys
+
+    def gather(arr):  # (b, n, d) -> (b, H, k, d)
+        return jnp.take_along_axis(
+            arr[:, None].repeat(H, 1), subset[..., None], axis=2
+        )
+
+    sub2d = gather(coords_2d).reshape(b * H, k, 2)
+    sub3d = gather(coords_3d).reshape(b * H, k, 3)
+    subw = jnp.take_along_axis(
+        w_point[:, None].repeat(H, 1), subset, axis=2
+    ).reshape(b * H, k)
+    cams = jnp.repeat(cam_mats, H, axis=0)
+
+    yaw_h, t_h = dlt_yaw_pnp(sub2d, subw, sub3d, cams)
+
+    err = _reproj_errors(
+        jnp.repeat(coords_2d, H, axis=0),
+        jnp.repeat(coords_3d, H, axis=0),
+        cams, yaw_h, t_h, cfg.z_min,
+    ).reshape(b, H, n)
+    inl = (err <= thr[:, None, None]) & valid[:, None, :]
+    score = jnp.sum(inl, axis=-1)                     # (b, H)
+    # reject hypotheses whose solution placed the object behind the camera
+    score = jnp.where(t_h.reshape(b, H, 3)[..., 2] > cfg.z_min, score, -1)
+    best = jnp.argmax(score, axis=1)                  # (b,)
+
+    best_inl = jnp.take_along_axis(inl, best[:, None, None], axis=1)[:, 0]
+    count = jnp.sum(best_inl, axis=1, keepdims=True)
+    # cv2 keeps the RANSAC consensus only when > 4 inliers survive
+    inlier_mask = jnp.where(count > 4, best_inl, valid)
+
+    yaw0, t0 = dlt_yaw_pnp(
+        coords_2d, jnp.mean(istd, -1) * inlier_mask, coords_3d, cam_mats
+    )
+    return yaw0, t0, inlier_mask
+
+
+def lm_refine(
+    coords_2d: Array,
+    istd: Array,
+    coords_3d: Array,
+    cam_mats: Array,
+    u_range: Array,
+    v_range: Array,
+    yaw0: Array,
+    t0: Array,
+    inlier_mask: Optional[Array],
+    cfg: PnPConfig,
+) -> Tuple[Array, Array, Array]:
+    """Batched damped Gauss-Newton on [yaw, t]; all RoIs in lockstep.
+
+    Returns (yaw (b, 1), t (b, 3), final_cost (b,)).
+    """
+    b = coords_2d.shape[0]
+
+    def cost_jac(pose):
+        yaw = pose[:, :1]
+        t = pose[:, 1:]
+        jac, err = jacobian_and_error(
+            coords_2d, istd, coords_3d, cam_mats, u_range, v_range,
+            cfg.z_min, yaw, t, inlier_mask,
+        )
+        cost = jnp.sum(err * err, axis=-1)
+        return jac, err, cost
+
+    def cost_only(pose):
+        yaw = pose[:, :1]
+        t = pose[:, 1:]
+        proj = forward_proj(
+            coords_2d, coords_3d, cam_mats, cfg.z_min, u_range, v_range,
+            yaw, t,
+        )
+        err = proj.error_unweighted * istd
+        if inlier_mask is not None:
+            err = jnp.where(inlier_mask[..., None], err, 0.0)
+        return jnp.sum(err * err, axis=(1, 2))
+
+    pose0 = jnp.concatenate([yaw0, t0], axis=1)       # (b, 4)
+    lam0 = jnp.full((b,), cfg.lm_lambda_init)
+    c0 = cost_only(pose0)
+
+    def body(_, state):
+        pose, lam, cost = state
+        jac, err, _ = cost_jac(pose)
+        g = jnp.einsum("bni,bn->bi", jac, err)        # (b, 4)
+        h = jnp.einsum("bni,bnj->bij", jac, jac)      # (b, 4, 4)
+        d = jnp.diagonal(h, axis1=1, axis2=2)
+        # Marquardt scaling: damp by lam * diag(J^T J)
+        damped = h + jax.vmap(jnp.diag)(lam[:, None] * jnp.clip(d, 1e-8, None))
+        delta = jnp.linalg.solve(damped, -g[..., None])[..., 0]
+        pose_new = pose + delta
+        cost_new = cost_only(pose_new)
+        accept = (cost_new < cost) & jnp.isfinite(cost_new)
+        pose = jnp.where(accept[:, None], pose_new, pose)
+        cost = jnp.where(accept, cost_new, cost)
+        lam = jnp.where(accept, lam * cfg.lm_lambda_down, lam * cfg.lm_lambda_up)
+        lam = jnp.clip(lam, 1e-10, 1e8)
+        return pose, lam, cost
+
+    pose, _, cost = jax.lax.fori_loop(
+        0, cfg.lm_iters, body, (pose0, lam0, c0)
+    )
+    return pose[:, :1], pose[:, 1:], cost
+
+
+def pose_covariance(
+    coords_2d: Array,
+    istd: Array,
+    coords_3d: Array,
+    cam_mats: Array,
+    u_range: Array,
+    v_range: Array,
+    yaw: Array,
+    t: Array,
+    inlier_mask: Optional[Array],
+    z_min: float,
+) -> Tuple[Array, Array]:
+    """cov = (J^T J)^{-1} with eigenvalue guard (pnp_uncert.py:77-85).
+
+    Returns (pose_cov (b, 4, 4), cov_valid (b,)).
+    """
+    h = approx_hessian(
+        coords_2d, istd, coords_3d, cam_mats, u_range, v_range,
+        z_min, yaw, t, inlier_mask,
+    )
+    eigval = jnp.linalg.eigvalsh(h)
+    valid = eigval[:, 0] > jnp.clip(1e-6 * eigval[:, 3], 0.0, None)
+    h_safe = jnp.where(valid[:, None, None], h, jnp.eye(4))
+    cov = jnp.linalg.inv(h_safe)
+    return cov, valid
+
+
+def pnp_uncert(
+    coords_2d: Array,       # (b, n, 2)
+    coords_2d_istd: Array,  # (b, n, 2)
+    coords_3d: Array,       # (b, n, 3)
+    cam_mats: Array,        # (b, 3, 3)
+    u_range: Array,         # (b, 2)
+    v_range: Array,         # (b, 2)
+    ransac_thr: Optional[Array] = None,   # (b,) or None
+    rng: Optional[Array] = None,
+    cfg: PnPConfig = PnPConfig(),
+) -> PnPResult:
+    """Full uncertainty PnP: pre-filter -> init -> LM -> covariance.
+
+    Fixed-shape, jit-safe, differentiable nowhere (outputs are
+    stop_gradient'ed to mirror the reference's no_grad forward).
+    """
+    istd = coords_2d_istd
+    if cfg.coord_istd_normalize:
+        mean = jnp.mean(istd, axis=(1, 2), keepdims=True)
+        istd = istd / jnp.clip(mean, cfg.eps, None)
+
+    valid0 = istd_inlier_mask(istd, cfg.istd_thres)
+
+    if ransac_thr is not None:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        yaw0, t0, inlier = ransac_yaw_pnp(
+            rng, coords_2d, istd, valid0, coords_3d, cam_mats,
+            ransac_thr, cfg,
+        )
+    else:
+        yaw0, t0 = dlt_yaw_pnp(
+            coords_2d, jnp.mean(istd, -1) * valid0, coords_3d, cam_mats
+        )
+        inlier = valid0
+
+    opt_mask = inlier if cfg.inlier_opt_only else None
+    yaw, t, cost = lm_refine(
+        coords_2d, istd, coords_3d, cam_mats, u_range, v_range,
+        yaw0, t0, opt_mask, cfg,
+    )
+    cov, cov_valid = pose_covariance(
+        coords_2d, istd, coords_3d, cam_mats, u_range, v_range,
+        yaw, t, opt_mask, cfg.z_min,
+    )
+    valid = (
+        cov_valid
+        & jnp.isfinite(cost)
+        & jnp.all(jnp.isfinite(t), axis=1)
+        & (jnp.sum(inlier, axis=1) >= cfg.ransac_min_points)
+    )
+    sg = jax.lax.stop_gradient
+    return PnPResult(
+        valid=sg(valid), yaw=sg(yaw), t_vec=sg(t),
+        pose_cov=sg(cov), inlier_mask=sg(inlier),
+    )
