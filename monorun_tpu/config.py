@@ -1,0 +1,338 @@
+"""Typed configuration system with the six reference presets.
+
+Replaces the reference's mmcv python-file configs + registry construction
+(configs/*.py, core/bbox_3d/builder.py) with frozen dataclasses. Presets
+mirror the shipped configs:
+
+  kitti_multiclass, kitti_multiclass_trainval, kitti_multiclass_lidar_supv,
+  kitti_multiclass_lidar_supv_trainval, kitti_car, kitti_car_lidar_supv
+
+CLI deep-merge overrides (--cfg-options a.b=c) are provided by
+``apply_overrides``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+
+def _replace(obj, **kw):
+    return dataclasses.replace(obj, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    depth: int = 101
+    frozen_stages: int = 1          # stem + layer1 frozen
+    norm_eval: bool = True          # BN always uses running stats
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+
+
+@dataclasses.dataclass(frozen=True)
+class NeckConfig:
+    in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5               # P2..P6
+    num_lower_outs: int = 1         # extra stride-2 level (FPNplus)
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    scales: Tuple[float, ...] = (5.0,)
+    ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+
+
+@dataclasses.dataclass(frozen=True)
+class RPNConfig:
+    in_channels: int = 256
+    feat_channels: int = 256
+    starting_level: int = 1         # skip the stride-2 FPN level
+    anchors: AnchorConfig = AnchorConfig()
+    # proposal generation
+    nms_pre: int = 1000             # per level
+    nms_post: int = 1000
+    nms_thr: float = 0.75
+    min_bbox_size: float = 0.0
+    train_nms_pre: int = 2000
+    pre_nms_limit: int = 4096       # global cap before the O(k^2) NMS
+    target_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    target_stds: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class BBoxHeadConfig:
+    in_channels: int = 256
+    fc_out_channels: int = 1024
+    roi_feat_size: int = 7
+    num_classes: int = 3
+    target_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    reg_class_agnostic: bool = False
+    finest_scale: float = 20.0      # RoI extractor level mapping
+    featmap_strides: Tuple[int, ...] = (2, 4, 8, 16, 32)
+
+
+@dataclasses.dataclass(frozen=True)
+class GlobalHeadConfig:
+    latent_channels: int = 16
+    num_fcs: int = 2
+    in_channels: int = 256
+    fc_out_channels: int = 1024
+    num_classes: int = 3
+    roi_feat_size: int = 7
+    latent_class_agnostic: bool = False
+    dropout_rate: float = 0.5
+    dropout2d_rate: float = 0.2
+    num_dropout_layers: int = 2
+    mc_samples: int = 50
+    dim_means: Tuple[Tuple[float, float, float], ...] = (
+        (3.89, 1.53, 1.62), (0.82, 1.78, 0.63), (1.77, 1.72, 0.57))
+    dim_stds: Tuple[Tuple[float, float, float], ...] = (
+        (0.44, 0.14, 0.11), (0.25, 0.13, 0.12), (0.15, 0.10, 0.14))
+
+
+@dataclasses.dataclass(frozen=True)
+class NOCHeadConfig:
+    num_convs: int = 3
+    in_channels: int = 256
+    conv_out_channels: int = 256
+    num_classes: int = 3
+    class_agnostic: bool = False
+    num_convs_upsampled: int = 1
+    noc_channels: int = 3
+    uncert_channels: int = 2
+    dropout2d_rate: float = 0.2
+    flip_correction: bool = True
+    latent_channels: int = 16
+    with_lidar_loss: bool = False   # loss_noc on (_lidar_supv presets)
+    finest_scale: float = 28.0
+    featmap_strides: Tuple[int, ...] = (2, 4, 8, 16, 32)
+    roi_size: int = 14
+    dense_size: int = 28
+    carafe_up_kernel: int = 5
+    carafe_encoder_kernel: int = 3
+    carafe_compressed_channels: int = 64
+    noc_means: Tuple[float, float, float] = (-0.1, -0.5, 0.0)
+    noc_stds: Tuple[float, float, float] = (0.35, 0.23, 0.34)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectionHeadConfig:
+    z_min: float = 0.5
+    allowed_border: float = 200.0
+    ref_length: float = 1.6
+    ref_focal_y: float = 722.0
+    target_std: float = 0.15
+    distance_mode: str = "range"    # or "z-depth"
+    loss_weight: float = 1.0
+    loss_momentum: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseHeadConfig:
+    z_min: float = 0.5
+    epnp_istd_thres: float = 0.6
+    inlier_opt_only: bool = True
+    allowed_border: float = 200.0
+    epnp_ransac_thres_ratio: float = 0.2
+    std_scale: float = 10.0
+    ransac_hypotheses: int = 32
+    lm_iters: int = 12
+    loss_calib_weight: float = 0.01
+    loss_calib_start_iter: int = 100   # LossUpdaterHook schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class ScoreHeadConfig:
+    reg_fc_out_channels: int = 1024
+    pose_fc_out_channels: int = 1024
+    fc_out_channels: int = 256
+    use_pose_norm: bool = True
+    pose_norm_momentum: float = 0.01
+    mode: str = "linear_average"
+    iou_thres: float = 0.7
+    linear_coefs: Tuple[float, float] = (-0.5, 2.0)
+    # IoU3DBalancedSampler
+    sampler_pos_iou_thr: float = 0.5
+    sampler_pos_fraction_min: float = 0.25
+    sampler_pos_fraction_max: float = 0.75
+    sampler_smooth_keeprate: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainCfg:
+    # RPN assign/sample
+    rpn_pos_iou_thr: float = 0.7
+    rpn_neg_iou_thr: float = 0.3
+    rpn_min_pos_iou: float = 0.3
+    rpn_ignore_iof_thr: float = 0.5
+    rpn_num_samples: int = 256
+    rpn_pos_fraction: float = 0.5
+    # RCNN assign/sample
+    rcnn_pos_iou_thr: float = 0.6
+    rcnn_neg_iou_thr: float = 0.6
+    rcnn_min_pos_iou: float = 0.6
+    rcnn_ignore_iof_thr: float = 0.6
+    rcnn_num_samples: int = 512
+    rcnn_pos_fraction: float = 0.25
+    add_gt_as_proposals: bool = True
+    max_pos: int = 128              # static positive-RoI capacity
+    dense_size: int = 28
+    calib_scoring: bool = True
+    # schedule
+    optimizer: str = "adamw"
+    lr: float = 2.0e-4
+    weight_decay: float = 0.01
+    grad_clip_norm: float = 35.0
+    warmup_iters: int = 500
+    warmup_ratio: float = 0.001
+    total_epochs: int = 50
+    samples_per_device: int = 3
+    checkpoint_interval: int = 2
+    eval_interval: int = 2
+    log_interval: int = 10
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TestCfg:
+    rpn_nms_pre: int = 1000
+    rpn_nms_post: int = 1000
+    rpn_nms_thr: float = 0.75
+    score_thr: float = 0.05
+    nms_iou_thr: float = 0.7
+    max_per_img: int = 100
+    nms_3d_thr: float = 0.01
+    mult_2d_score: bool = True
+    calib_scoring: bool = True
+    cov_correction: bool = True
+    debug: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    classes: Tuple[str, ...] = ("Car", "Pedestrian", "Cyclist")
+    train_root: str = "data/kitti/training/"
+    test_root: str = "data/kitti/testing/"
+    train_list: str = "mono3dsplit_train_list.txt"
+    val_list: str = "mono3dsplit_val_list.txt"
+    test_list: str = "test_list.txt"
+    coord_3d_prefix: Optional[str] = None   # 'obj_crd/' for lidar supv
+    img_mean: Tuple[float, float, float] = (95.80, 98.72, 93.82)
+    img_std: Tuple[float, float, float] = (83.11, 81.65, 80.54)
+    to_rgb: bool = True
+    size_divisor: int = 32
+    flip_ratio: float = 0.5
+    # static padded shapes (KITTI images are <= 376 x 1242)
+    pad_height: int = 384
+    pad_width: int = 1280
+    max_gt: int = 64
+    workers: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class MonoRUnConfig:
+    name: str = "kitti_multiclass"
+    backbone: BackboneConfig = BackboneConfig()
+    neck: NeckConfig = NeckConfig()
+    rpn: RPNConfig = RPNConfig()
+    bbox_head: BBoxHeadConfig = BBoxHeadConfig()
+    global_head: GlobalHeadConfig = GlobalHeadConfig()
+    noc_head: NOCHeadConfig = NOCHeadConfig()
+    projection_head: ProjectionHeadConfig = ProjectionHeadConfig()
+    pose_head: PoseHeadConfig = PoseHeadConfig()
+    score_head: ScoreHeadConfig = ScoreHeadConfig()
+    train: TrainCfg = TrainCfg()
+    test: TestCfg = TestCfg()
+    data: DataConfig = DataConfig()
+    compute_dtype: str = "bfloat16"   # conv/matmul dtype on TPU
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.data.classes)
+
+
+def _car_variant(base: MonoRUnConfig, name: str) -> MonoRUnConfig:
+    """Single-class preset: Car only, class-agnostic 3D heads, RPN ratios
+    0.4/0.7/1.0 (configs/kitti_car.py deltas)."""
+    return _replace(
+        base,
+        name=name,
+        data=_replace(base.data, classes=("Car",)),
+        rpn=_replace(
+            base.rpn, anchors=_replace(base.rpn.anchors, ratios=(0.4, 0.7, 1.0))
+        ),
+        bbox_head=_replace(base.bbox_head, num_classes=1),
+        global_head=_replace(
+            base.global_head, num_classes=1,
+            dim_means=(base.global_head.dim_means[0],),
+            dim_stds=(base.global_head.dim_stds[0],),
+        ),
+        noc_head=_replace(base.noc_head, num_classes=1, class_agnostic=True),
+    )
+
+
+def _lidar_supv(base: MonoRUnConfig, name: str) -> MonoRUnConfig:
+    """LiDAR-supervised preset: NOC loss on, obj_crd prefix, dropout2d 0.5
+    (configs/kitti_multiclass_lidar_supv.py deltas)."""
+    return _replace(
+        base,
+        name=name,
+        noc_head=_replace(
+            base.noc_head, with_lidar_loss=True, dropout2d_rate=0.5
+        ),
+        data=_replace(base.data, coord_3d_prefix="obj_crd/"),
+    )
+
+
+def _trainval(base: MonoRUnConfig, name: str) -> MonoRUnConfig:
+    """train+val training, 32 epochs, no val hook."""
+    return _replace(
+        base,
+        name=name,
+        train=_replace(base.train, total_epochs=32, eval_interval=0),
+        data=_replace(base.data, train_list="trainval_list.txt"),
+    )
+
+
+def get_config(name: str) -> MonoRUnConfig:
+    base = MonoRUnConfig()
+    presets = {
+        "kitti_multiclass": base,
+        "kitti_multiclass_trainval": _trainval(base, "kitti_multiclass_trainval"),
+        "kitti_multiclass_lidar_supv": _lidar_supv(
+            base, "kitti_multiclass_lidar_supv"),
+        "kitti_multiclass_lidar_supv_trainval": _trainval(
+            _lidar_supv(base, ""), "kitti_multiclass_lidar_supv_trainval"),
+        "kitti_car": _car_variant(base, "kitti_car"),
+        "kitti_car_lidar_supv": _lidar_supv(
+            _car_variant(base, ""), "kitti_car_lidar_supv"),
+    }
+    if name not in presets:
+        raise KeyError(f"unknown config '{name}'; have {sorted(presets)}")
+    return presets[name]
+
+
+def apply_overrides(cfg: Any, overrides: Sequence[str]) -> Any:
+    """CLI deep-merge: ['train.lr=1e-4', 'test.max_per_img=50']."""
+    for ov in overrides:
+        path, _, raw = ov.partition("=")
+        keys = path.split(".")
+        # parse value
+        try:
+            import ast
+
+            val = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            val = raw
+        # rebuild nested frozen dataclasses
+        def rec(obj, ks):
+            if len(ks) == 1:
+                return dataclasses.replace(obj, **{ks[0]: val})
+            child = getattr(obj, ks[0])
+            return dataclasses.replace(obj, **{ks[0]: rec(child, ks[1:])})
+
+        cfg = rec(cfg, keys)
+    return cfg

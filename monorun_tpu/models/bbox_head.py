@@ -1,0 +1,78 @@
+"""Shared-2FC R-CNN bbox head (mmdet Shared2FCBBoxHead semantics).
+
+7x7x256 RoI features -> two 1024-d FCs -> softmax cls (num_classes + 1,
+background last) + per-class box deltas (configs/kitti_multiclass.py:45-57).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import BBoxHeadConfig
+from ..ops.box_coder import delta_decode
+from ..ops.nms import NEG_INF, multiclass_nms
+
+Array = jnp.ndarray
+
+
+class BBoxHead(nn.Module):
+    cfg: BBoxHeadConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats: Array) -> Tuple[Array, Array]:
+        """roi_feats (n, 7, 7, C) -> (cls_logits (n, K+1), deltas (n, K*4))."""
+        c = self.cfg
+        x = roi_feats.astype(self.dtype)
+        # match torch flatten order (C, H, W) so converted fc weights line up
+        x = jnp.moveaxis(x, -1, 1).reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(c.fc_out_channels, dtype=self.dtype,
+                             name="shared_fc0")(x))
+        x = nn.relu(nn.Dense(c.fc_out_channels, dtype=self.dtype,
+                             name="shared_fc1")(x))
+        cls_logits = nn.Dense(c.num_classes + 1, dtype=self.dtype,
+                              name="fc_cls")(x)
+        n_reg = 4 if c.reg_class_agnostic else 4 * c.num_classes
+        deltas = nn.Dense(n_reg, dtype=self.dtype, name="fc_reg")(x)
+        return cls_logits.astype(jnp.float32), deltas.astype(jnp.float32)
+
+
+def get_det_bboxes(
+    rois: Array,          # (n, 4) proposals (no batch col)
+    cls_logits: Array,    # (n, K+1)
+    deltas: Array,        # (n, K*4)
+    roi_valid: Array,     # (n,) bool
+    img_shape: Tuple[int, int],
+    cfg_head: BBoxHeadConfig,
+    score_thr: float,
+    nms_iou_thr: float,
+    max_per_img: int,
+) -> Tuple[Array, Array, Array, Array]:
+    """mmdet BBoxHead.get_bboxes + multiclass NMS, fixed shape.
+
+    Returns (boxes (m, 4), scores (m,), labels (m,), valid (m,)).
+    """
+    K = cfg_head.num_classes
+    scores = jax.nn.softmax(cls_logits, axis=-1)[:, :K]   # drop background
+    if cfg_head.reg_class_agnostic:
+        boxes = delta_decode(
+            rois, deltas, cfg_head.target_means, cfg_head.target_stds,
+            max_shape=img_shape,
+        )
+        boxes = jnp.broadcast_to(boxes[:, None, :], (rois.shape[0], K, 4))
+    else:
+        boxes = delta_decode(
+            rois[:, None, :],
+            deltas.reshape(-1, K, 4),
+            cfg_head.target_means,
+            cfg_head.target_stds,
+            max_shape=img_shape,
+        )                                                  # (n, K, 4)
+    masked = jnp.where(
+        (scores > score_thr) & roi_valid[:, None], scores, NEG_INF
+    )
+    return multiclass_nms(boxes, masked, nms_iou_thr, max_per_img)

@@ -1,0 +1,73 @@
+"""FPN with an extra high-resolution (stride-2) output — "FPNplus".
+
+Mirrors models/necks/fpn_plus.py: standard FPN laterals + nearest top-down
+(P2..P5), a max-pool P6, plus ``num_lower_outs`` finer levels built by
+bilinearly upsampling the finest post-top-down lateral 2x and applying a
+3x3 conv. Output tuple: (P1, P2, P3, P4, P5, P6) with strides
+(2, 4, 8, 16, 32, 64); RPN consumes levels 1..5, RoI extractors 0..4.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def _upsample_nearest_2x(x: Array) -> Array:
+    b, h, w, c = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+    ).reshape(b, 2 * h, 2 * w, c)
+
+
+def _upsample_bilinear(x: Array, scale: int) -> Array:
+    b, h, w, c = x.shape
+    return jax.image.resize(
+        x, (b, h * scale, w * scale, c), method="bilinear"
+    )
+
+
+class FPNplus(nn.Module):
+    out_channels: int = 256
+    num_outs: int = 5            # P2..P6
+    num_lower_outs: int = 1      # stride-2 extras
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[Array]) -> Tuple[Array, ...]:
+        n_in = len(inputs)
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f"lateral{i}")(inputs[i].astype(self.dtype))
+            for i in range(n_in)
+        ]
+        for i in range(n_in - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + _upsample_nearest_2x(
+                laterals[i]
+            )
+
+        outs_lower = []
+        for i in range(self.num_lower_outs):
+            up = _upsample_bilinear(
+                laterals[0], 2 ** (self.num_lower_outs - i)
+            )
+            outs_lower.append(
+                nn.Conv(self.out_channels, (3, 3), padding=1,
+                        dtype=self.dtype, name=f"lower{i}")(up)
+            )
+
+        outs = [
+            nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name=f"fpn{i}")(laterals[i])
+            for i in range(n_in)
+        ]
+        while len(outs) < self.num_outs:
+            outs.append(
+                nn.max_pool(outs[-1], (1, 1), strides=(2, 2))
+            )
+        return tuple(outs_lower + outs)

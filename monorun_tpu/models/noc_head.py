@@ -1,0 +1,120 @@
+"""Dense NOC decoder: 14x14 RoI features -> 28x28 NOC + aleatoric log-std.
+
+Mirrors fcn_noc_decoder.py: optional Dropout2d, three 3x3 convs, additive
+latent-vector injection through a zero-initialised linear, CARAFE 2x
+upsample, one post-upsample conv, and a final 1x1 conv producing per-class
+(3 NOC + 2 logstd) channels duplicated for flip correction — the duplicate
+bank is selected per RoI by its flip flag (fcn_noc_decoder.py:225-240),
+vectorised here instead of branching on a Python bool.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import NOCHeadConfig
+from ..ops.carafe import CARAFEPack
+
+Array = jnp.ndarray
+
+
+class NOCHeadOutput(NamedTuple):
+    noc_pred: Array       # (n, 28, 28, 3)
+    proj_logstd: Array    # (n, 28, 28, 2)
+
+
+class NOCHead(nn.Module):
+    cfg: NOCHeadConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        roi_feats: Array,        # (n, 14, 14, C)
+        latent: Array,           # (n, L)
+        labels: Array,           # (n,) int
+        flip: Array,             # (n,) bool
+        train: bool,
+        rng: Optional[Array] = None,
+    ) -> NOCHeadOutput:
+        c = self.cfg
+        n = roi_feats.shape[0]
+        x = roi_feats.astype(self.dtype)
+
+        if train and c.dropout2d_rate > 0:
+            assert rng is not None
+            keep = 1.0 - c.dropout2d_rate
+            mask = jax.random.bernoulli(
+                rng, keep, (n, 1, 1, x.shape[-1])
+            ).astype(self.dtype)
+            x = x * mask / keep
+
+        for i in range(c.num_convs):
+            x = nn.relu(
+                nn.Conv(c.conv_out_channels, (3, 3), padding=1,
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            )
+
+        # additive latent injection (zero-init so it starts as identity)
+        deform = nn.Dense(
+            c.conv_out_channels, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="latent_decoder",
+        )(latent.astype(self.dtype))
+        x = x + deform[:, None, None, :]
+
+        x = CARAFEPack(
+            channels=c.conv_out_channels,
+            scale=2,
+            up_kernel=c.carafe_up_kernel,
+            encoder_kernel=c.carafe_encoder_kernel,
+            compressed_channels=c.carafe_compressed_channels,
+            dtype=self.dtype,
+            name="upsample",
+        )(x)
+
+        for i in range(c.num_convs_upsampled):
+            x = nn.relu(
+                nn.Conv(c.conv_out_channels, (3, 3), padding=1,
+                        dtype=self.dtype, name=f"conv_up{i}")(x)
+            )
+
+        ncls = 1 if c.class_agnostic else c.num_classes
+        per_bank = (c.noc_channels + c.uncert_channels) * ncls
+        out_ch = per_bank * (2 if c.flip_correction else 1)
+        pred = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
+                       name="conv_final")(x)
+        pred = pred.astype(jnp.float32)
+
+        if c.flip_correction:
+            # channel-major split: [flip0-bank, flip1-bank]
+            pred = pred.reshape(pred.shape[:-1] + (2, per_bank))
+            sel = flip.astype(jnp.int32)[:, None, None, None, None]
+            pred = jnp.take_along_axis(pred, sel, axis=-2)[..., 0, :]
+
+        noc, logstd = self.slice_pred(pred, labels)
+        return NOCHeadOutput(noc, logstd)
+
+    def slice_pred(
+        self, pred: Array, labels: Array
+    ) -> Tuple[Array, Array]:
+        """Class-conditional channel slicing (fcn_noc_decoder.py:242-267)."""
+        c = self.cfg
+        ncls = 1 if c.class_agnostic else c.num_classes
+        split = c.noc_channels * ncls
+        all_noc = pred[..., :split]
+        all_logstd = pred[..., split:]
+        if c.class_agnostic:
+            return all_noc, all_logstd
+        n, h, w, _ = pred.shape
+        lab = labels[:, None, None, None, None].astype(jnp.int32)
+        noc = all_noc.reshape(n, h, w, ncls, c.noc_channels)
+        noc = jnp.take_along_axis(noc, lab, axis=-2)[..., 0, :]
+        logstd = all_logstd.reshape(n, h, w, ncls, c.uncert_channels)
+        logstd = jnp.take_along_axis(logstd, lab, axis=-2)[..., 0, :]
+        return noc, logstd

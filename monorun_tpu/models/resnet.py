@@ -1,0 +1,116 @@
+"""ResNet backbone (channels-last, frozen-BN semantics) in flax.linen.
+
+Provides the torchvision-compatible ResNet-50/101 the reference binds via
+mmdet (configs/kitti_multiclass.py:4-12: depth=101, frozen_stages=1,
+norm_eval=True, style='pytorch'). BatchNorm always uses running statistics
+(the reference keeps every BN in eval mode even during training), so BN is
+a constant affine at run time; parameters are kept separate so torchvision
+checkpoints convert 1:1. Stage freezing is applied in the optimizer mask,
+not here.
+
+Compute runs in ``dtype`` (bfloat16 on TPU), parameters stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm that always normalises with running statistics."""
+
+    features: int
+    dtype: Any = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+        ).value
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,))
+        ).value
+        inv = (scale / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        shift = (bias - mean * scale / jnp.sqrt(var + self.eps)).astype(
+            self.dtype
+        )
+        return x * inv + shift
+
+
+class Bottleneck(nn.Module):
+    """torchvision-style bottleneck: stride on the 3x3 conv."""
+
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        residual = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = FrozenBatchNorm(self.features, self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)
+        y = FrozenBatchNorm(self.features, self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = FrozenBatchNorm(self.features * 4, self.dtype, name="bn3")(y)
+        if self.downsample:
+            residual = nn.Conv(
+                self.features * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            residual = FrozenBatchNorm(
+                self.features * 4, self.dtype, name="downsample_bn"
+            )(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """Returns the four stage outputs (C2, C3, C4, C5), strides 4/8/16/32."""
+
+    depth: int = 101
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, ...]:
+        blocks = STAGE_BLOCKS[self.depth]
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        features = 64
+        for stage, n_blocks in enumerate(blocks):
+            stride = 1 if stage == 0 else 2
+            for i in range(n_blocks):
+                x = Bottleneck(
+                    features,
+                    stride=stride if i == 0 else 1,
+                    downsample=(i == 0),
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{i}",
+                )(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            features *= 2
+        return tuple(outs)

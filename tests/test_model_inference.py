@@ -1,0 +1,95 @@
+"""End-to-end inference graph tests on a tiny config (CPU-friendly)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monorun_tpu.config import get_config
+from monorun_tpu.models.detector import MonoRUn, init_detector
+
+
+def tiny_config():
+    cfg = get_config("kitti_multiclass")
+    cfg = dataclasses.replace(
+        cfg,
+        compute_dtype="float32",
+        backbone=dataclasses.replace(cfg.backbone, depth=50),
+        rpn=dataclasses.replace(
+            cfg.rpn, nms_pre=64, nms_post=64, pre_nms_limit=256
+        ),
+        test=dataclasses.replace(
+            cfg.test, rpn_nms_pre=64, rpn_nms_post=64, max_per_img=8
+        ),
+        global_head=dataclasses.replace(cfg.global_head, mc_samples=4),
+        pose_head=dataclasses.replace(
+            cfg.pose_head, ransac_hypotheses=4, lm_iters=3
+        ),
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = tiny_config()
+    model, variables = init_detector(
+        cfg, jax.random.PRNGKey(0), (64, 128)
+    )
+    return cfg, model, variables
+
+
+def test_inference_shapes_and_finiteness(model_and_vars):
+    cfg, model, variables = model_and_vars
+    B, H, W = 2, 64, 128
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(B, H, W, 3)).astype(np.float32))
+    K = jnp.asarray(
+        np.tile(
+            np.array([[70.0, 0, 64], [0, 70.0, 32], [0, 0, 1]], np.float32),
+            (B, 1, 1),
+        )
+    )
+    shapes = jnp.asarray([[60.0, 120.0], [64.0, 128.0]])
+    det = model.apply(
+        variables, images, K, shapes, jax.random.PRNGKey(1)
+    )
+    M = cfg.test.max_per_img
+    assert det.bboxes_2d.shape == (B, M, 4)
+    assert det.bboxes_3d.shape == (B, M, 8)
+    assert det.labels.shape == (B, M)
+    assert det.valid.shape == (B, M)
+    assert det.pose_cov.shape == (B, M, 4, 4)
+    assert np.isfinite(np.asarray(det.bboxes_3d)).all()
+    assert np.isfinite(np.asarray(det.pose_cov)).all()
+    # scores in [0, 1] (sigmoid x softmax products)
+    s = np.asarray(det.bboxes_3d[..., 7])
+    assert (s >= 0).all() and (s <= 1.5).all()
+
+
+def test_inference_jits_and_is_deterministic(model_and_vars):
+    cfg, model, variables = model_and_vars
+    B, H, W = 1, 64, 128
+    images = jnp.zeros((B, H, W, 3))
+    K = jnp.asarray(
+        np.array([[[70.0, 0, 64], [0, 70.0, 32], [0, 0, 1]]], np.float32)
+    )
+    shapes = jnp.asarray([[64.0, 128.0]])
+    fn = jax.jit(
+        lambda v, im, k, s, r: model.apply(v, im, k, s, r)
+    )
+    d1 = fn(variables, images, K, shapes, jax.random.PRNGKey(7))
+    d2 = fn(variables, images, K, shapes, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(
+        np.asarray(d1.bboxes_3d), np.asarray(d2.bboxes_3d)
+    )
+
+
+def test_param_count_plausible(model_and_vars):
+    _, _, variables = model_and_vars
+    n_params = sum(
+        np.prod(p.shape) for p in jax.tree.leaves(variables["params"])
+    )
+    # ResNet-50 + FPN + heads should land in the 40M-90M range
+    assert 30e6 < n_params < 120e6, n_params
