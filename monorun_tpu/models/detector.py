@@ -305,6 +305,343 @@ class MonoRUn(nn.Module):
         )
 
 
+def _train_forward(
+    self,
+    batch: Dict[str, Array],
+    rng: Array,
+    step: Array,
+    loss_ema: Array,
+):
+    """Training losses for one batch (MonoRUnRoIHead.forward_train flow,
+    monorun_roi_head.py:99-254, with fixed-shape assignment/sampling).
+
+    batch keys: images (B,H,W,3), cam (B,3,3), img_shapes (B,2),
+    gt_boxes (B,G,4), gt_labels (B,G), gt_valid (B,G),
+    ignore_boxes (B,I,4), ignore_valid (B,I), gt_bboxes_3d (B,G,7)
+    [l,h,w,x,y,z,ry], flip (B,), uv (B,G,Q,2), oc (B,G,Q,3),
+    pts_valid (B,G,Q).
+
+    Returns (total_loss, (metrics, new_loss_ema)).
+    """
+    from ..losses import (
+        kl_loss_mv,
+        robust_kl_loss,
+        sigmoid_bce_loss,
+        smooth_l1_loss,
+        softmax_ce_loss,
+    )
+    from ..ops.box_coder import delta_decode, delta_encode
+    from ..ops.geometry import project_points
+    from ..ops.rotated_iou import bbox3d_overlaps_aligned
+    from ..targets.assigner import AssignCfg, assign_max_iou
+    from ..targets.dense_target import encode_noc_points, sparse_noc_targets
+    from ..targets.rpn_targets import rpn_loss
+    from ..targets.sampler import sample_rois
+    from .score_head import iou3d_balanced_sample_weights, score_targets
+
+    cfg = self.cfg
+    tr = cfg.train
+    B, H, W = batch["images"].shape[:3]
+    pad_shape = (H, W)
+    G = batch["gt_boxes"].shape[1]
+    K = cfg.bbox_head.num_classes
+
+    (rng_rpn, rng_assign, rng_gh, rng_noc, rng_pnp, rng_score) = (
+        jax.random.split(rng, 6)
+    )
+
+    feats = self.extract_feats(batch["images"])
+    cls_scores, bbox_preds = self.run_rpn(feats)
+
+    losses = rpn_loss(
+        rng_rpn, cls_scores, bbox_preds, batch["gt_boxes"],
+        batch["gt_valid"], batch["ignore_boxes"], batch["ignore_valid"],
+        cfg.rpn, tr,
+    )
+
+    proposals, prop_valid = get_proposals(
+        cls_scores, bbox_preds, cfg.rpn, pad_shape,
+        cfg.rpn.train_nms_pre, cfg.rpn.nms_post,
+        valid_shapes=batch["img_shapes"],
+    )
+
+    # ---- assign + sample (add GTs as proposals) ---------------------------
+    cand_boxes = jnp.concatenate([proposals, batch["gt_boxes"]], axis=1)
+    cand_valid = jnp.concatenate([prop_valid, batch["gt_valid"]], axis=1)
+    acfg = AssignCfg(
+        pos_iou_thr=tr.rcnn_pos_iou_thr,
+        neg_iou_thr=tr.rcnn_neg_iou_thr,
+        min_pos_iou=tr.rcnn_min_pos_iou,
+        ignore_iof_thr=tr.rcnn_ignore_iof_thr,
+    )
+
+    def per_image(rng_i, cb, cv, gb, gv, gl, ib, iv):
+        res = assign_max_iou(
+            cb, cv, gb, gv, gl, acfg, ignore_boxes=ib, ignore_valid=iv
+        )
+        return sample_rois(
+            rng_i, cb, res.assigned_gt, res.labels, tr.rcnn_num_samples,
+            tr.rcnn_pos_fraction, max_pos=tr.max_pos,
+        )
+
+    samp = jax.vmap(per_image)(
+        jax.random.split(rng_assign, B), cand_boxes, cand_valid,
+        batch["gt_boxes"], batch["gt_valid"], batch["gt_labels"],
+        batch["ignore_boxes"], batch["ignore_valid"],
+    )
+
+    P = tr.max_pos                      # positives per image
+    Nneg = tr.rcnn_num_samples - P
+    all_boxes = jnp.concatenate([samp.pos_boxes, samp.neg_boxes], axis=1)
+    all_valid = jnp.concatenate([samp.pos_valid, samp.neg_valid], axis=1)
+    batch_col = jnp.repeat(
+        jnp.arange(B, dtype=all_boxes.dtype), tr.rcnn_num_samples
+    )
+    rois = jnp.concatenate(
+        [batch_col[:, None], all_boxes.reshape(-1, 4)], axis=1
+    )
+    roi_feats = multilevel_roi_align(
+        feats[: len(cfg.bbox_head.featmap_strides)], rois,
+        cfg.bbox_head.featmap_strides, (7, 7),
+        finest_scale=cfg.bbox_head.finest_scale,
+    )
+    cls_logits, deltas = self.bbox_head(roi_feats)
+
+    # ---- bbox head losses -------------------------------------------------
+    bg = K
+    labels_all = jnp.concatenate(
+        [samp.pos_labels, jnp.full((B, Nneg), bg, jnp.int32)], axis=1
+    ).reshape(-1)
+    valid_flat = all_valid.reshape(-1)
+    n_total = jnp.sum(valid_flat)
+    losses["loss_cls"] = softmax_ce_loss(
+        cls_logits, labels_all, weight=valid_flat.astype(jnp.float32),
+        avg_factor=n_total,
+    )
+
+    pos_gt_boxes = jnp.take_along_axis(
+        batch["gt_boxes"], samp.pos_gt_inds[..., None], axis=1
+    )
+    reg_targets = delta_encode(
+        samp.pos_boxes, pos_gt_boxes, cfg.bbox_head.target_means,
+        cfg.bbox_head.target_stds,
+    )                                            # (B, P, 4)
+    deltas_k = deltas.reshape(B, tr.rcnn_num_samples, K, 4)[:, :P]
+    pos_deltas = jnp.take_along_axis(
+        deltas_k, samp.pos_labels[..., None, None].astype(jnp.int32)
+        .repeat(4, -1), axis=2,
+    )[:, :, 0]                                   # (B, P, 4)
+    losses["loss_bbox"] = smooth_l1_loss(
+        pos_deltas, reg_targets, beta=1.0,
+        weight=samp.pos_valid[..., None].astype(jnp.float32),
+        avg_factor=n_total,
+    )
+
+    # ---- positive-RoI refinement (regress_by_class, no grad) -------------
+    refined = delta_decode(
+        samp.pos_boxes, jax.lax.stop_gradient(pos_deltas),
+        cfg.bbox_head.target_means, cfg.bbox_head.target_stds,
+        max_shape=pad_shape,
+    )
+    pos_boxes = jnp.where(samp.pos_valid[..., None], refined, samp.pos_boxes)
+
+    # ---- 3D heads on the positive slots -----------------------------------
+    pos_batch_col = jnp.repeat(jnp.arange(B, dtype=pos_boxes.dtype), P)
+    pos_rois = jnp.concatenate(
+        [pos_batch_col[:, None], pos_boxes.reshape(-1, 4)], axis=1
+    )
+    flat_pos_valid = samp.pos_valid.reshape(-1)
+    flat_pos_labels = samp.pos_labels.reshape(-1)
+    flat_gt_inds = samp.pos_gt_inds.reshape(-1)
+
+    pos_gt_3d = jax.vmap(lambda g, i: g[i])(
+        batch["gt_bboxes_3d"], samp.pos_gt_inds
+    ).reshape(-1, 7)                              # [l,h,w,x,y,z,ry]
+
+    reg_feats = multilevel_roi_align(
+        feats[: len(cfg.bbox_head.featmap_strides)], pos_rois,
+        cfg.bbox_head.featmap_strides, (7, 7),
+        finest_scale=cfg.bbox_head.finest_scale,
+    )
+    gout = self.global_head(reg_feats, train=True, rng=rng_gh)
+    dim_enc, _, latent, _ = slice_pred(
+        cfg.global_head, gout.dim_latent_pred, None, flat_pos_labels
+    )
+    dim_coder = DimCoder(cfg.global_head.dim_means, cfg.global_head.dim_stds)
+    dim_targets = dim_coder.encode(pos_gt_3d[:, :3], flat_pos_labels)
+    losses["loss_dim"] = smooth_l1_loss(
+        dim_enc, dim_targets, beta=1.0,
+        weight=flat_pos_valid[:, None].astype(jnp.float32),
+    )
+
+    noc_feats = multilevel_roi_align(
+        feats[: len(cfg.noc_head.featmap_strides)], pos_rois,
+        cfg.noc_head.featmap_strides,
+        (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
+        finest_scale=cfg.noc_head.finest_scale,
+    )
+    flip_pos = jnp.repeat(batch["flip"], P)
+    nout = self.noc_head(
+        noc_feats, latent, flat_pos_labels, flip_pos, train=True,
+        rng=rng_noc,
+    )
+
+    if cfg.noc_head.with_lidar_loss:
+        oc_enc = encode_noc_points(
+            batch["oc"],
+            batch["gt_bboxes_3d"][:, :, None, :3],
+            batch["flip"][:, None, None],
+            cfg.noc_head.noc_means, cfg.noc_head.noc_stds,
+        )                                         # (B, G, Q, 3)
+
+        def tgt_one(pr, pv, pg, uv_b, oc_b, ok_b):
+            return sparse_noc_targets(
+                pr, pv, pg, uv_b, oc_b, ok_b, cfg.noc_head.dense_size
+            )
+
+        tg, wg = jax.vmap(tgt_one)(
+            pos_boxes, samp.pos_valid, samp.pos_gt_inds, batch["uv"],
+            oc_enc, batch["pts_valid"],
+        )
+        dsz = cfg.noc_head.dense_size
+        losses["loss_noc"] = smooth_l1_loss(
+            nout.noc_pred, tg.reshape(-1, dsz, dsz, 3), beta=1.0,
+            weight=(
+                wg.reshape(-1, dsz, dsz, 1)
+                * flat_pos_valid[:, None, None, None]
+            ),
+        )
+
+    # ---- decode + projection loss -----------------------------------------
+    noc_coder = NOCCoder(cfg.noc_head.noc_means, cfg.noc_head.noc_stds)
+    dims, _ = dim_coder.decode(dim_enc, None, flat_pos_labels)
+    coords_3d, _ = noc_coder.decode(
+        nout.noc_pred, None, dims, None, flip_pos
+    )
+    dsz = cfg.noc_head.dense_size
+    coords_2d_roi = roi_grid_centers(pos_rois, (dsz, dsz))
+
+    cams_pos = jnp.repeat(batch["cam"], P, axis=0)
+    shapes_pos = jnp.repeat(batch["img_shapes"], P, axis=0)
+
+    # Horizontal flip keeps all 3D geometry in the ORIGINAL camera frame
+    # (reference RandomFlip3D flips only image/2D boxes/dense fields, and
+    # the flipped coord_2d field carries original-frame u values —
+    # transforms.py:36-51). Our analytic grid lives in augmented coords,
+    # so mirror u back for flipped images: u_orig = (W - 1) - u_aug.
+    u_mirror = (shapes_pos[:, 1] - 1.0)[:, None, None]
+    u = coords_2d_roi[..., 0]
+    u = jnp.where(flip_pos[:, None, None], u_mirror - u, u)
+    coords_2d_roi = jnp.stack([u, coords_2d_roi[..., 1]], -1)
+    pose_gt = pos_gt_3d[:, 3:7]                   # [x, y, z, ry]
+    if cfg.projection_head.distance_mode == "z-depth":
+        distances = pos_gt_3d[:, 5:6]
+    else:
+        distances = jnp.linalg.norm(pos_gt_3d[:, 3:6], axis=1, keepdims=True)
+
+    coords_2d_proj = project_points(
+        coords_3d, pose_gt, cams_pos, shapes_pos,
+        z_min=cfg.projection_head.z_min,
+        allowed_border=cfg.projection_head.allowed_border,
+    )
+    proj_coder = ProjErrorCoder(
+        cfg.projection_head.ref_length, cfg.projection_head.ref_focal_y,
+        cfg.projection_head.target_std,
+    )
+    proj_error = proj_coder.encode(coords_2d_proj - coords_2d_roi, distances)
+    w_proj = jnp.broadcast_to(
+        flat_pos_valid[:, None, None, None], proj_error.shape
+    ).astype(jnp.float32)
+    loss_proj, new_ema = robust_kl_loss(
+        proj_error, 0, nout.proj_logstd, loss_ema,
+        weight=w_proj, momentum=cfg.projection_head.loss_momentum,
+        training=True,
+    )
+    losses["loss_proj"] = loss_proj * cfg.projection_head.loss_weight
+
+    # ---- pose (PnP, no grad) + calibration loss ---------------------------
+    proj_logstd_dec = proj_coder.decode_logstd(
+        nout.proj_logstd, None, distances
+    )
+    istd = jnp.exp(-proj_logstd_dec) / cfg.pose_head.std_scale
+    border = cfg.pose_head.allowed_border
+    npos = B * P
+    u_range = jnp.stack(
+        [jnp.full((npos,), -border), shapes_pos[:, 1] + border], -1
+    )
+    v_range = jnp.stack(
+        [jnp.full((npos,), -border), shapes_pos[:, 0] + border], -1
+    )
+    roi_heights = coords_2d_roi[:, -1, 0, 1] - coords_2d_roi[:, 0, 0, 1]
+    pnp = pnp_uncert(
+        coords_2d_roi.reshape(npos, dsz * dsz, 2),
+        istd.reshape(npos, dsz * dsz, 2),
+        jax.lax.stop_gradient(coords_3d).reshape(npos, dsz * dsz, 3),
+        cams_pos, u_range, v_range,
+        ransac_thr=cfg.pose_head.epnp_ransac_thres_ratio * roi_heights,
+        rng=rng_pnp,
+        cfg=PnPConfig(
+            z_min=cfg.pose_head.z_min,
+            istd_thres=cfg.pose_head.epnp_istd_thres,
+            inlier_opt_only=cfg.pose_head.inlier_opt_only,
+            ransac_hypotheses=cfg.pose_head.ransac_hypotheses,
+            lm_iters=cfg.pose_head.lm_iters,
+        ),
+    )
+    pose_cov_calib = self.calibrated_cov(pnp.pose_cov)
+    pose_ok = pnp.valid & flat_pos_valid
+
+    ious = bbox3d_overlaps_aligned(
+        pos_gt_3d[:, jnp.asarray([3, 4, 5, 0, 1, 2, 6])],
+        jnp.concatenate([pnp.t_vec, dims, pnp.yaw], axis=1),
+    )
+    ious = jnp.where(pose_ok, ious, 0.0)
+    losses["mean_iou"] = jnp.sum(
+        ious * flat_pos_valid
+    ) / jnp.clip(jnp.sum(flat_pos_valid), 1, None)
+
+    # loss_calib: enabled after loss_calib_start_iter (LossUpdaterHook)
+    yaw_diff = (pnp.yaw[:, 0] - pose_gt[:, 3] + jnp.pi) % (2 * jnp.pi) - jnp.pi
+    diff = jnp.concatenate(
+        [yaw_diff[:, None], pnp.t_vec - pose_gt[:, :3]], axis=1
+    )
+    inv_cov = jnp.linalg.inv(pose_cov_calib + jnp.eye(4))
+    calib_gate = (step >= cfg.pose_head.loss_calib_start_iter).astype(
+        jnp.float32
+    )
+    losses["loss_calib"] = (
+        kl_loss_mv(
+            jax.lax.stop_gradient(diff), 0, inv_cov,
+            weight=pose_ok[:, None].astype(jnp.float32),
+        )
+        * cfg.pose_head.loss_calib_weight
+        * calib_gate
+    )
+
+    # ---- score head --------------------------------------------------------
+    score_cov = pose_cov_calib if tr.calib_scoring else pnp.pose_cov
+    logits = self.score_head(
+        gout.reg_fc_out, pnp.yaw, pnp.t_vec, score_cov, dims,
+        train=True, valid=pose_ok,
+    )
+    targets = score_targets(cfg.score_head, ious)
+    samp_w = iou3d_balanced_sample_weights(cfg.score_head, ious, rng_score)
+    samp_w = samp_w * pose_ok
+    samp_w = samp_w / jnp.clip(jnp.mean(samp_w), 1e-2, None)
+    losses["loss_score"] = sigmoid_bce_loss(
+        logits[:, None], targets[:, None], weight=samp_w[:, None],
+        avg_factor=jnp.sum(pose_ok),
+    )
+
+    total = sum(
+        v for k, v in losses.items() if k.startswith("loss")
+    )
+    return total, (losses, new_ema)
+
+
+MonoRUn.train_forward = _train_forward
+
+
 def init_detector(
     cfg: MonoRUnConfig, rng: Array, image_shape: Tuple[int, int]
 ):

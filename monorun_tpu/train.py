@@ -1,0 +1,138 @@
+"""Train state, optimizer, schedule, and the jitted/pjitted train step.
+
+Replaces the reference's mmcv EpochBasedRunner + hooks (tools/train.py,
+runner/hooks/*): AdamW(2e-4, wd 0.01) + cosine annealing with 500-iter
+linear warmup + global-norm grad clip 35 (configs/kitti_multiclass.py:
+286-296), backbone stage freezing (frozen_stages=1), the LossUpdaterHook
+schedule (gated inside train_forward), and the RobustKLLoss EMA buffer as
+explicit train state.
+
+Data parallelism: one jitted step with the batch sharded over a 1-D
+'data' mesh axis via NamedSharding; XLA inserts the gradient all-reduce
+over ICI. No DDP wrapper classes (reference: train.py:66-74, NCCL).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from .config import MonoRUnConfig
+from .models.detector import MonoRUn, _train_forward
+
+Array = jnp.ndarray
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    loss_ema: Array          # RobustKLLoss mean_inv_std buffer
+    step: Array
+
+
+def _is_frozen(path: Tuple[str, ...]) -> bool:
+    """frozen_stages=1: stem + layer1 of the backbone don't train."""
+    p = "/".join(str(k) for k in path)
+    return (
+        p.startswith("backbone/conv1")
+        or p.startswith("backbone/bn1")
+        or p.startswith("backbone/layer1_")
+    )
+
+
+def make_lr_schedule(cfg: MonoRUnConfig, total_steps: int):
+    tr = cfg.train
+    warmup = optax.linear_schedule(
+        init_value=tr.lr * tr.warmup_ratio,
+        end_value=tr.lr,
+        transition_steps=tr.warmup_iters,
+    )
+    cosine = optax.cosine_decay_schedule(
+        init_value=tr.lr,
+        decay_steps=max(total_steps - tr.warmup_iters, 1),
+    )
+    return optax.join_schedules([warmup, cosine], [tr.warmup_iters])
+
+
+def make_optimizer(cfg: MonoRUnConfig, total_steps: int):
+    tr = cfg.train
+    sched = make_lr_schedule(cfg, total_steps)
+    base = optax.chain(
+        optax.clip_by_global_norm(tr.grad_clip_norm),
+        optax.adamw(sched, weight_decay=tr.weight_decay),
+    )
+    label_fn = lambda params: jax.tree_util.tree_map_with_path(
+        lambda path, _: "frozen"
+        if _is_frozen(tuple(k.key for k in path))
+        else "train",
+        params,
+    )
+    return optax.multi_transform(
+        {"train": base, "frozen": optax.set_to_zero()}, label_fn
+    )
+
+
+def create_train_state(
+    cfg: MonoRUnConfig, rng: Array, total_steps: int,
+    image_shape: Tuple[int, int],
+) -> Tuple[MonoRUn, TrainState, Any]:
+    model = MonoRUn(cfg)
+    h, w = image_shape
+    variables = model.init(
+        {"params": rng},
+        jnp.zeros((1, h, w, 3), jnp.float32),
+        jnp.eye(3)[None],
+        jnp.asarray([[float(h), float(w)]]),
+        jax.random.PRNGKey(0),
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg, total_steps)
+    state = TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        loss_ema=jnp.asarray(1.0),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    return model, state, tx
+
+
+def train_step(
+    model: MonoRUn,
+    tx,
+    state: TrainState,
+    batch: Dict[str, Array],
+    rng: Array,
+) -> Tuple[TrainState, Dict[str, Array]]:
+    """One optimisation step; jit (or pjit via sharded args) outside."""
+
+    def loss_fn(params):
+        (total, (metrics, new_ema)), updates = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch, rng, state.step, state.loss_ema,
+            method=_train_forward,
+            mutable=["batch_stats"],
+        )
+        return total, (metrics, new_ema, updates.get("batch_stats", {}))
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (total, (metrics, new_ema, new_stats)), grads = grad_fn(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(
+        params=new_params,
+        batch_stats=new_stats if new_stats else state.batch_stats,
+        opt_state=new_opt,
+        loss_ema=new_ema,
+        step=state.step + 1,
+    )
+    metrics = dict(metrics)
+    metrics["total_loss"] = total
+    return new_state, metrics

@@ -1,0 +1,136 @@
+"""KITTI AP protocol tests on constructed scenarios with known outcomes."""
+
+import numpy as np
+
+from monorun_tpu.eval.kitti_eval import (
+    clean_data,
+    get_thresholds,
+    kitti_eval,
+)
+
+
+def _gt(names, bboxes, locs=None, dims=None, rys=None, trunc=None, occ=None):
+    n = len(names)
+    return dict(
+        name=np.asarray(names),
+        truncated=np.asarray(trunc if trunc is not None else [0.0] * n),
+        occluded=np.asarray(occ if occ is not None else [0] * n),
+        alpha=np.zeros(n),
+        bbox=np.asarray(bboxes, np.float32).reshape(n, 4),
+        dimensions=np.asarray(
+            dims if dims is not None else [[4, 1.5, 1.7]] * n, np.float32
+        ).reshape(n, 3),
+        location=np.asarray(
+            locs if locs is not None else [[0, 1.5, 20]] * n, np.float32
+        ).reshape(n, 3),
+        rotation_y=np.asarray(rys if rys is not None else [0.0] * n),
+        score=np.zeros(n, np.float32),
+    )
+
+
+def _dt(bboxes, scores, locs=None, dims=None, rys=None, name="Car"):
+    n = len(scores)
+    a = _gt([name] * n, bboxes, locs, dims, rys)
+    a["score"] = np.asarray(scores, np.float32)
+    a["alpha"] = np.zeros(n)
+    return a
+
+
+BOX = [100, 100, 200, 200]  # height 100 > easy min height 40
+N_IMG = 50  # enough distinct score levels to populate all 41 recall points
+
+
+def _scores(i, base=0.9):
+    return base - 0.004 * i
+
+
+
+def test_perfect_detection_gives_100():
+    gts = [_gt(["Car"], [BOX])] * N_IMG
+    dts = [_dt([BOX], [_scores(i)]) for i in range(N_IMG)]
+    _, ap = kitti_eval(gts, dts, ["Car"], eval_types=["bbox"])
+    assert ap["Car_bbox_0.70_easy"] > 97.0
+    assert ap["Car_bbox_0.70_moderate"] > 97.0
+
+
+def test_missed_half_reduces_recall():
+    # 2 GTs per image, only 1 detected
+    gts = [_gt(["Car", "Car"], [BOX, [300, 100, 400, 200]])] * N_IMG
+    dts = [_dt([BOX], [_scores(i)]) for i in range(N_IMG)]
+    _, ap = kitti_eval(gts, dts, ["Car"], eval_types=["bbox"])
+    # R40: precision 1 up to recall 0.5, 0 beyond -> AP ~ 50
+    assert 40.0 < ap["Car_bbox_0.70_easy"] <= 52.0
+
+
+def test_false_positive_hurts_precision():
+    gts = [_gt(["Car"], [BOX])] * N_IMG
+    dts = [_dt([BOX, [500, 100, 600, 200]], [_scores(i), _scores(i, 0.89)])
+           for i in range(N_IMG)]
+    _, ap = kitti_eval(gts, dts, ["Car"], eval_types=["bbox"])
+    assert ap["Car_bbox_0.70_easy"] < 90.0
+
+
+def test_dontcare_region_not_a_false_positive():
+    gts = [_gt(["Car", "DontCare"], [BOX, [500, 100, 600, 200]])] * N_IMG
+    dts = [_dt([BOX, [500, 100, 600, 200]], [_scores(i), _scores(i, 0.89)])
+           for i in range(N_IMG)]
+    _, ap = kitti_eval(gts, dts, ["Car"], eval_types=["bbox"])
+    assert ap["Car_bbox_0.70_easy"] > 97.0
+
+
+def test_van_ignored_for_car():
+    # detection on a Van: assigned to the ignored GT, neither TP nor FP
+    gts = [_gt(["Car", "Van"], [BOX, [500, 100, 600, 200]])] * N_IMG
+    dts = [_dt([BOX, [500, 100, 600, 200]], [_scores(i), _scores(i, 0.89)])
+           for i in range(N_IMG)]
+    _, ap = kitti_eval(gts, dts, ["Car"], eval_types=["bbox"])
+    assert ap["Car_bbox_0.70_easy"] > 97.0
+
+
+def test_difficulty_filtering():
+    # small box (height 30 < 40) doesn't count for easy but does moderate
+    small = [100, 100, 160, 130]
+    gts = [_gt(["Car"], [small])] * N_IMG
+    dts = [_dt([small], [_scores(i)]) for i in range(N_IMG)]
+    _, ap = kitti_eval(gts, dts, ["Car"], eval_types=["bbox"])
+    assert ap["Car_bbox_0.70_moderate"] > 97.0
+    # easy: zero valid GTs -> AP 0 by convention here
+    assert ap["Car_bbox_0.70_easy"] < 1.0
+
+
+def test_occlusion_truncation_filters():
+    n_valid, ig, idt, dc = clean_data(
+        _gt(
+            ["Car", "Car", "Car"], [BOX, BOX, BOX],
+            trunc=[0.0, 0.4, 0.0], occ=[0, 0, 3],
+        ),
+        _dt([BOX], [0.9]),
+        "Car", 1,
+    )
+    assert n_valid == 1
+    assert list(ig) == [0, 1, 1]
+
+
+def test_3d_metric_exact_match():
+    gts = [_gt(["Car"], [BOX], locs=[[1.0, 1.5, 15.0]], rys=[0.3])] * N_IMG
+    dts = [_dt([BOX], [_scores(i)], locs=[[1.0, 1.5, 15.0]], rys=[0.3])
+           for i in range(N_IMG)]
+    _, ap = kitti_eval(gts, dts, ["Car"], eval_types=["3d"])
+    assert ap["Car_3d_0.70_easy"] > 97.0
+
+
+def test_3d_metric_offset_fails_strict_passes_loose():
+    # x offset 1.0 on an l=4 box: 3D IoU = 3/5 = 0.6 — fails 0.7, passes 0.5
+    gts = [_gt(["Car"], [BOX], locs=[[0.0, 1.5, 15.0]], rys=[0.0])] * N_IMG
+    dts = [_dt([BOX], [_scores(i)], locs=[[1.0, 1.5, 15.0]], rys=[0.0])
+           for i in range(N_IMG)]
+    _, ap = kitti_eval(gts, dts, ["Car"], eval_types=["3d"])
+    assert ap["Car_3d_0.70_easy"] < 1.0
+    assert ap["Car_3d_0.50_easy"] > 97.0
+
+
+def test_get_thresholds_spacing():
+    scores = np.linspace(1, 0, 100)
+    th = get_thresholds(scores, 100)
+    assert len(th) <= 41
+    assert (np.diff(th) <= 0).all()
