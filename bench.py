@@ -52,24 +52,41 @@ def main():
         np.tile(np.asarray([[375.0, 1242.0]], np.float32), (BATCH, 1))
     )
 
-    fn = jax.jit(model.apply)
+    # The remote tunnel makes host-side timing unreliable (async dispatch,
+    # per-call RPC overhead), so the benchmark loop runs ON DEVICE: one
+    # lax.fori_loop with a *dynamic* trip count executes the full pipeline
+    # n times with a data dependency between iterations; one host fetch
+    # closes the measurement. Slope between two trip counts removes the
+    # fixed dispatch/fetch overhead.
+    def run_n(variables, images, n, key):
+        def body(i, carry):
+            det = model.apply(
+                variables, images + carry * 0.0, cam, shapes,
+                jax.random.fold_in(key, i),
+            )
+            return jnp.sum(det.bboxes_3d)
+
+        return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0))
+
+    fn = jax.jit(run_n)
+
+    def timed(n: int) -> float:
+        t0 = time.time()
+        checksum = float(fn(variables, images, n, jax.random.PRNGKey(1)))
+        dt = time.time() - t0
+        print(f"n={n} dt={dt:.3f}s checksum={checksum:.3f}", file=sys.stderr)
+        return dt
+
     t0 = time.time()
-    out = fn(variables, images, cam, shapes, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
+    timed(1)
     print(f"compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
+    timed(1)
 
-    # warmup
-    for i in range(3):
-        out = fn(variables, images, cam, shapes, jax.random.PRNGKey(i))
-    jax.block_until_ready(out)
-
-    t0 = time.time()
-    for i in range(ITERS):
-        out = fn(variables, images, cam, shapes, jax.random.PRNGKey(i))
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-
-    fps = BATCH * ITERS / dt
+    n_short, n_long = max(ITERS // 4, 1), ITERS
+    t_short = min(timed(n_short), timed(n_short))
+    t_long = min(timed(n_long), timed(n_long))
+    per_iter = (t_long - t_short) / (n_long - n_short)
+    fps = BATCH / per_iter
     baseline_fps = 1.0 / 0.07
     print(
         json.dumps(

@@ -1,0 +1,132 @@
+"""Inference API: init a detector from config+checkpoint, run on images.
+
+Replaces monorun/apis/inference.py (init_detector/inference_detector). A
+single jitted program serves any batch size up to the compiled one; calib
+can come from a KITTI calib file, a CSV (demo/calib.csv style), or a raw
+3x3 matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MonoRUnConfig, get_config
+from ..data.pipeline import load_image, normalize_pad
+from ..models import MonoRUn, init_detector
+
+
+class InferenceSession:
+    """Holds the model, variables, and the compiled forward."""
+
+    def __init__(self, cfg: MonoRUnConfig, variables, batch_size: int = 1):
+        self.cfg = cfg
+        self.model = MonoRUn(cfg)
+        self.variables = variables
+        self.batch_size = batch_size
+        self._fn = jax.jit(self.model.apply)
+
+    def run(
+        self,
+        images: np.ndarray,        # (B, H, W, 3) already normalised+padded
+        cam: np.ndarray,           # (B, 3, 3)
+        shapes: np.ndarray,        # (B, 2)
+        seed: int = 0,
+    ):
+        return self._fn(
+            self.variables, jnp.asarray(images), jnp.asarray(cam),
+            jnp.asarray(shapes), jax.random.PRNGKey(seed),
+        )
+
+
+def init_inference(
+    config: str | MonoRUnConfig,
+    checkpoint: Optional[str] = None,
+    batch_size: int = 1,
+) -> InferenceSession:
+    cfg = get_config(config) if isinstance(config, str) else config
+    h, w = cfg.data.pad_height, cfg.data.pad_width
+    _, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
+    if checkpoint:
+        variables = load_weights(cfg, variables, checkpoint)
+    return InferenceSession(cfg, variables, batch_size)
+
+
+def load_weights(cfg: MonoRUnConfig, variables, checkpoint: str):
+    """Load weights from an orbax dir or a reference .pth file."""
+    import flax
+
+    variables = flax.core.unfreeze(variables)
+    if checkpoint.endswith(".pth"):
+        from ..utils.checkpoint import convert_torch_checkpoint
+
+        params, batch_stats, _, report = convert_torch_checkpoint(
+            checkpoint, variables["params"], variables["batch_stats"]
+        )
+        n_bad = sum(1 for v in report.values() if v != "ok")
+        if n_bad:
+            bad = {k: v for k, v in report.items() if v != "ok"}
+            print(f"[load_weights] {n_bad} keys not placed: {bad}")
+        variables["params"] = params
+        variables["batch_stats"] = batch_stats
+    else:
+        from ..utils.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(
+            checkpoint,
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+        )
+        variables.update(restored)
+    return variables
+
+
+def inference_detector(
+    session: InferenceSession,
+    image_paths: Sequence[str],
+    cam_intrinsics: Sequence[np.ndarray],
+    seed: int = 0,
+) -> List[Dict[str, np.ndarray]]:
+    """Run detection on image files; returns per-image result dicts
+    (bboxes_2d, labels, bboxes_3d, valid, pose_cov) in numpy."""
+    cfg = session.cfg
+    results = []
+    B = session.batch_size
+    for i in range(0, len(image_paths), B):
+        chunk = image_paths[i : i + B]
+        cams = cam_intrinsics[i : i + B]
+        imgs, shapes = [], []
+        for p in chunk:
+            img = load_image(p, cfg.data.to_rgb)
+            padded, (rh, rw) = normalize_pad(img, cfg.data)
+            imgs.append(padded)
+            shapes.append([float(rh), float(rw)])
+        while len(imgs) < B:   # pad the tail batch
+            imgs.append(np.zeros_like(imgs[0]))
+            cams = list(cams) + [cams[-1]]
+            shapes.append(shapes[-1])
+        det = session.run(
+            np.stack(imgs), np.stack(cams).astype(np.float32),
+            np.asarray(shapes, np.float32), seed=seed + i,
+        )
+        for b in range(len(chunk)):
+            results.append(
+                dict(
+                    bboxes_2d=np.asarray(det.bboxes_2d[b]),
+                    scores_2d=np.asarray(det.scores_2d[b]),
+                    labels=np.asarray(det.labels[b]),
+                    bboxes_3d=np.asarray(det.bboxes_3d[b]),
+                    valid=np.asarray(det.valid[b]),
+                    pose_cov=np.asarray(det.pose_cov[b]),
+                )
+            )
+    return results
+
+
+def read_calib_csv(path: str) -> np.ndarray:
+    """demo/calib.csv style: 3x3 intrinsic matrix as comma-separated rows."""
+    return np.loadtxt(path, delimiter=",").astype(np.float32).reshape(3, 3)

@@ -1,0 +1,144 @@
+"""Training loop: epochs, logging, checkpointing, periodic eval.
+
+Replaces mmcv's EpochBasedRunner + hook stack (reference tools/train.py ->
+mmdet train_detector): cosine LR with warmup and loss scheduling live
+inside the optimizer/train_forward; this loop adds data-parallel batch
+sharding, text/TensorBoard-style metric logging, checkpoint-every-K-epochs
+and EvalHook-equivalent periodic validation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MonoRUnConfig
+from ..data.kitti import KITTI3DDataset
+from ..data.loader import PrefetchLoader
+from ..parallel import make_mesh, replicate, shard_batch
+from ..train import TrainState, create_train_state, train_step
+from ..utils.checkpoint import latest_checkpoint, load_checkpoint, \
+    save_checkpoint
+
+
+class MetricLogger:
+    """Text + JSONL metric logging (TextLoggerHook equivalent)."""
+
+    def __init__(self, workdir: str, interval: int = 10):
+        self.interval = interval
+        self.path = os.path.join(workdir, "train_log.jsonl")
+        os.makedirs(workdir, exist_ok=True)
+        self._t0 = time.time()
+
+    def log(self, step: int, epoch: int, metrics: Dict[str, jnp.ndarray]):
+        if step % self.interval:
+            return
+        rec = {k: round(float(v), 5) for k, v in metrics.items()}
+        rec.update(step=step, epoch=epoch,
+                   wall=round(time.time() - self._t0, 1))
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        msg = " ".join(
+            f"{k}={rec[k]:.4f}" for k in sorted(rec) if k.startswith("loss")
+        )
+        print(f"[e{epoch} it{step}] total={rec.get('total_loss', 0):.4f} "
+              f"{msg} iou={rec.get('mean_iou', 0):.3f}", flush=True)
+
+
+def train_detector(
+    cfg: MonoRUnConfig,
+    workdir: str,
+    resume_from: Optional[str] = None,
+    load_from: Optional[str] = None,
+    max_steps: Optional[int] = None,
+    val_ds: Optional[KITTI3DDataset] = None,
+):
+    """Full training run. Returns the final TrainState."""
+    tr = cfg.train
+    ds = KITTI3DDataset(
+        cfg.data.train_root, cfg.data.train_list,
+        classes=cfg.data.classes,
+        coord_3d_prefix=cfg.data.coord_3d_prefix,
+    )
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    global_batch = tr.samples_per_device * n_dev
+    loader = PrefetchLoader(
+        ds, cfg.data, global_batch, train=True, seed=tr.seed
+    )
+    steps_per_epoch = len(loader)
+    total_steps = steps_per_epoch * tr.total_epochs
+    if max_steps is not None:
+        total_steps = min(total_steps, max_steps)
+
+    model, state, tx = create_train_state(
+        cfg, jax.random.PRNGKey(tr.seed), total_steps,
+        (cfg.data.pad_height, cfg.data.pad_width),
+    )
+    if load_from:
+        from .inference import load_weights
+
+        variables = load_weights(
+            cfg, {"params": state.params, "batch_stats": state.batch_stats},
+            load_from,
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+    if resume_from:
+        state = load_checkpoint(resume_from, state)
+    elif latest_checkpoint(workdir):
+        state = load_checkpoint(latest_checkpoint(workdir), state)
+
+    state = replicate(state, mesh)
+    step_fn = jax.jit(lambda s, b, r: train_step(model, tx, s, b, r))
+    logger = MetricLogger(workdir, tr.log_interval)
+    rng = jax.random.PRNGKey(tr.seed + 1)
+
+    step = int(jax.device_get(state.step))
+    epoch = step // max(steps_per_epoch, 1)
+    while step < total_steps:
+        for batch in loader:
+            batch.pop("_indices")
+            sharded = shard_batch(
+                jax.tree.map(jnp.asarray, batch), mesh
+            )
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, sharded, sub)
+            step += 1
+            logger.log(step, epoch, metrics)
+            if max_steps is not None and step >= max_steps:
+                break
+        epoch += 1
+        if tr.checkpoint_interval and epoch % tr.checkpoint_interval == 0:
+            save_checkpoint(
+                workdir, jax.device_get(state), step
+            )
+        if (
+            val_ds is not None
+            and tr.eval_interval
+            and epoch % tr.eval_interval == 0
+        ):
+            _run_val(cfg, state, val_ds)
+        if max_steps is not None and step >= max_steps:
+            break
+
+    save_checkpoint(workdir, jax.device_get(state), step)
+    return state
+
+
+def _run_val(cfg: MonoRUnConfig, state: TrainState, val_ds: KITTI3DDataset):
+    from .inference import InferenceSession
+    from .test import run_eval
+
+    session = InferenceSession(
+        cfg,
+        {"params": state.params, "batch_stats": state.batch_stats},
+    )
+    return run_eval(session, val_ds, batch_size=2, print_summary=True)

@@ -137,7 +137,7 @@ class MonoRUn(nn.Module):
         roi_feats = multilevel_roi_align(
             feats[: len(cfg.bbox_head.featmap_strides)], rois,
             cfg.bbox_head.featmap_strides, (7, 7),
-            finest_scale=cfg.bbox_head.finest_scale,
+            finest_scale=cfg.bbox_head.finest_scale, max_ratio=3,
         )
         cls_logits, deltas = self.bbox_head(roi_feats)
 
@@ -165,7 +165,7 @@ class MonoRUn(nn.Module):
         reg_feats = multilevel_roi_align(
             feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
             cfg.bbox_head.featmap_strides, (7, 7),
-            finest_scale=cfg.bbox_head.finest_scale,
+            finest_scale=cfg.bbox_head.finest_scale, max_ratio=3,
         )
         gout = self.global_head(reg_feats, train=False, rng=rng_mc)
         dim_enc, dim_var_enc, latent, latent_var = slice_pred(
@@ -180,7 +180,7 @@ class MonoRUn(nn.Module):
             feats[: len(cfg.noc_head.featmap_strides)], det_rois,
             cfg.noc_head.featmap_strides,
             (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
-            finest_scale=cfg.noc_head.finest_scale,
+            finest_scale=cfg.noc_head.finest_scale, max_ratio=2,
         )
         flip = jnp.zeros((B * M,), bool)
         nout = self.noc_head(
@@ -286,6 +286,10 @@ class MonoRUn(nn.Module):
         )
         final_valid = det_valid & keep3d & pnp.valid.reshape(B, M)
 
+        # sanitise padded/invalid slots so downstream consumers (and
+        # reductions over the fixed-shape arrays) never see NaN/garbage
+        bboxes_3d = jnp.where(final_valid[..., None], bboxes_3d, 0.0)
+
         extras: Dict[str, Array] = {}
         if tc.debug:
             extras = dict(
@@ -300,7 +304,11 @@ class MonoRUn(nn.Module):
             labels=det_labels,
             bboxes_3d=bboxes_3d,
             valid=final_valid,
-            pose_cov=pose_cov_calib.reshape(B, M, 4, 4),
+            pose_cov=jnp.where(
+                final_valid[..., None, None],
+                pose_cov_calib.reshape(B, M, 4, 4),
+                jnp.eye(4),
+            ),
             extras=extras,
         )
 
@@ -403,7 +411,7 @@ def _train_forward(
     roi_feats = multilevel_roi_align(
         feats[: len(cfg.bbox_head.featmap_strides)], rois,
         cfg.bbox_head.featmap_strides, (7, 7),
-        finest_scale=cfg.bbox_head.finest_scale,
+        finest_scale=cfg.bbox_head.finest_scale, max_ratio=3,
     )
     cls_logits, deltas = self.bbox_head(roi_feats)
 
@@ -461,7 +469,7 @@ def _train_forward(
     reg_feats = multilevel_roi_align(
         feats[: len(cfg.bbox_head.featmap_strides)], pos_rois,
         cfg.bbox_head.featmap_strides, (7, 7),
-        finest_scale=cfg.bbox_head.finest_scale,
+        finest_scale=cfg.bbox_head.finest_scale, max_ratio=3,
     )
     gout = self.global_head(reg_feats, train=True, rng=rng_gh)
     dim_enc, _, latent, _ = slice_pred(
@@ -478,7 +486,7 @@ def _train_forward(
         feats[: len(cfg.noc_head.featmap_strides)], pos_rois,
         cfg.noc_head.featmap_strides,
         (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
-        finest_scale=cfg.noc_head.finest_scale,
+        finest_scale=cfg.noc_head.finest_scale, max_ratio=2,
     )
     flip_pos = jnp.repeat(batch["flip"], P)
     nout = self.noc_head(
@@ -648,7 +656,9 @@ def init_detector(
     """Initialise variables with a dummy batch. Returns (model, variables)."""
     model = MonoRUn(cfg)
     h, w = image_shape
-    variables = model.init(
+    # jit the init: unjitted tracing dispatches thousands of individual ops
+    # (prohibitive over a remote-device tunnel); one compiled program is fast
+    variables = jax.jit(model.init)(
         {"params": rng},
         jnp.zeros((1, h, w, 3), jnp.float32),
         jnp.eye(3)[None],

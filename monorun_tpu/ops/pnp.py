@@ -109,7 +109,11 @@ def dlt_yaw_pnp(
     A, bb = _dlt_rows(coords_2d, coords_3d, cam_mats)
     w2 = jnp.concatenate([weights, weights], axis=1)  # (b, 2n)
     Aw = A * w2[..., None]
-    ata = jnp.einsum("bni,bnj->bij", Aw, A) + eps * jnp.eye(5)
+    ata = jnp.einsum("bni,bnj->bij", Aw, A)
+    # relative Tikhonov: degenerate RoIs (e.g. zero-size padded boxes whose
+    # points coincide) must stay finite, not poison downstream outputs
+    tr = jnp.trace(ata, axis1=-2, axis2=-1)[:, None, None]
+    ata = ata + (1e-6 * tr / 5.0 + eps) * jnp.eye(5)
     atb = jnp.einsum("bni,bn->bi", Aw, bb)
     sol = jnp.linalg.solve(ata, -atb[..., None])[..., 0]  # (b, 5)
     c, s = sol[:, 0], sol[:, 1]
@@ -122,7 +126,9 @@ def dlt_yaw_pnp(
     cs = jnp.stack([jnp.cos(yaw[:, 0]), jnp.sin(yaw[:, 0])], -1)  # (b, 2)
     rhs = -(jnp.einsum("bnk,bk->bn", A_cs, cs) + bb)
     At_w = A_t * w2[..., None]
-    ata_t = jnp.einsum("bni,bnj->bij", At_w, A_t) + eps * jnp.eye(3)
+    ata_t = jnp.einsum("bni,bnj->bij", At_w, A_t)
+    tr_t = jnp.trace(ata_t, axis1=-2, axis2=-1)[:, None, None]
+    ata_t = ata_t + (1e-6 * tr_t / 3.0 + eps) * jnp.eye(3)
     atb_t = jnp.einsum("bni,bn->bi", At_w, rhs)
     t = jnp.linalg.solve(ata_t, atb_t[..., None])[..., 0]
     return yaw, t

@@ -84,7 +84,7 @@ def create_train_state(
 ) -> Tuple[MonoRUn, TrainState, Any]:
     model = MonoRUn(cfg)
     h, w = image_shape
-    variables = model.init(
+    variables = jax.jit(model.init)(
         {"params": rng},
         jnp.zeros((1, h, w, 3), jnp.float32),
         jnp.eye(3)[None],

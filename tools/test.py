@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Evaluation CLI (replaces reference test.py + tools/test.py).
+
+    python tools/test.py kitti_multiclass work_dirs/run/step_10000 \
+        --val-set --eval bbox bev 3d --result-dir results/
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate MonoRUn-TPU")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None,
+                   help=".pth or orbax checkpoint dir (optional: random "
+                        "weights for smoke runs)")
+    p.add_argument("--val-set", action="store_true",
+                   help="evaluate the validation split instead of test")
+    p.add_argument("--eval", nargs="*", default=["bbox", "bev", "3d"])
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--result-dir", default=None,
+                   help="write KITTI submission txt files here")
+    p.add_argument("--summary-file", default=None)
+    p.add_argument("--criteria", default="R40", choices=["R40", "R11"])
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from monorun_tpu.apis.inference import init_inference
+    from monorun_tpu.apis.test import run_eval
+    from monorun_tpu.config import apply_overrides, get_config
+    from monorun_tpu.data.kitti import KITTI3DDataset
+
+    cfg = apply_overrides(get_config(args.config), args.cfg_options)
+    if args.val_set:
+        root, lst, labels = cfg.data.train_root, cfg.data.val_list, True
+    else:
+        root, lst, labels = cfg.data.test_root, cfg.data.test_list, False
+    ds = KITTI3DDataset(
+        root, lst, classes=cfg.data.classes, with_labels=labels
+    )
+    session = init_inference(
+        cfg, args.checkpoint, batch_size=args.batch_size
+    )
+    ap = run_eval(
+        session, ds, batch_size=args.batch_size, metrics=args.eval,
+        result_dir=args.result_dir,
+    )
+    if args.summary_file and ap:
+        import json
+
+        with open(args.summary_file, "w") as f:
+            json.dump(ap, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
