@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 ITERS = 20
 
 

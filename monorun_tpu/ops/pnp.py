@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from .geometry import approx_hessian, forward_proj, jacobian_and_error
+from .linalg_small import spd_inverse, spd_solve, spd_valid
 
 Array = jnp.ndarray
 
@@ -115,7 +116,7 @@ def dlt_yaw_pnp(
     tr = jnp.trace(ata, axis1=-2, axis2=-1)[:, None, None]
     ata = ata + (1e-6 * tr / 5.0 + eps) * jnp.eye(5)
     atb = jnp.einsum("bni,bn->bi", Aw, bb)
-    sol = jnp.linalg.solve(ata, -atb[..., None])[..., 0]  # (b, 5)
+    sol = spd_solve(ata, -atb)  # (b, 5) — unrolled Cholesky, TPU-fast
     c, s = sol[:, 0], sol[:, 1]
     norm = jnp.sqrt(jnp.clip(c * c + s * s, eps, None))
     yaw = jnp.arctan2(s / norm, c / norm)[:, None]
@@ -130,7 +131,7 @@ def dlt_yaw_pnp(
     tr_t = jnp.trace(ata_t, axis1=-2, axis2=-1)[:, None, None]
     ata_t = ata_t + (1e-6 * tr_t / 3.0 + eps) * jnp.eye(3)
     atb_t = jnp.einsum("bni,bn->bi", At_w, rhs)
-    t = jnp.linalg.solve(ata_t, atb_t[..., None])[..., 0]
+    t = spd_solve(ata_t, atb_t)
     return yaw, t
 
 
@@ -257,7 +258,7 @@ def lm_refine(
         d = jnp.diagonal(h, axis1=1, axis2=2)
         # Marquardt scaling: damp by lam * diag(J^T J)
         damped = h + jax.vmap(jnp.diag)(lam[:, None] * jnp.clip(d, 1e-8, None))
-        delta = jnp.linalg.solve(damped, -g[..., None])[..., 0]
+        delta = spd_solve(damped, -g)
         pose_new = pose + delta
         cost_new = cost_only(pose_new)
         accept = (cost_new < cost) & jnp.isfinite(cost_new)
@@ -293,10 +294,11 @@ def pose_covariance(
         coords_2d, istd, coords_3d, cam_mats, u_range, v_range,
         z_min, yaw, t, inlier_mask,
     )
-    eigval = jnp.linalg.eigvalsh(h)
-    valid = eigval[:, 0] > jnp.clip(1e-6 * eigval[:, 3], 0.0, None)
+    # positive-definiteness check via Cholesky pivots replaces the
+    # reference's eigenvalue guard; same degenerate cases are caught
+    valid = spd_valid(h, rel=1e-9)
     h_safe = jnp.where(valid[:, None, None], h, jnp.eye(4))
-    cov = jnp.linalg.inv(h_safe)
+    cov = spd_inverse(h_safe)
     return cov, valid
 
 

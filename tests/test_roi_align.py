@@ -127,3 +127,66 @@ def test_roi_grid_centers_equals_roi_align_of_coord2d():
     np.testing.assert_allclose(
         np.asarray(analytic)[0], np.asarray(aligned)[0], atol=1e-3
     )
+
+
+def test_tiled_matches_gather():
+    """The tiled separable formulation must equal the 4-tap gather."""
+    from monorun_tpu.ops.roi_align import multilevel_roi_align_tiled
+
+    rng = np.random.default_rng(7)
+    B, C = 2, 8
+    strides = [2, 4, 8, 16, 32]
+    H, W = 64, 128
+    feats = [
+        jnp.asarray(
+            rng.normal(size=(B, H // s, W // s, C)).astype(np.float32)
+        )
+        for s in strides
+    ]
+    # RoIs spanning all levels incl. a full-image box (clamped top level)
+    rois = np.array(
+        [
+            [0, 4.0, 4.0, 40.0, 30.0],
+            [0, 0.0, 0.0, 127.0, 63.0],
+            [1, 10.0, 8.0, 90.0, 60.0],
+            [1, 2.0, 2.0, 20.0, 14.0],
+            [0, 50.0, 20.0, 55.0, 24.0],
+        ],
+        np.float32,
+    )
+    ref = multilevel_roi_align(
+        feats, jnp.asarray(rois), strides, (7, 7), finest_scale=20.0,
+        max_ratio=3,
+    )
+    tiled = multilevel_roi_align_tiled(
+        feats, jnp.asarray(rois), strides, (7, 7), finest_scale=20.0,
+        max_ratio=3, tile_hw=(24, 44),
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(ref), atol=2e-4
+    )
+
+
+def test_tiled_matches_gather_noc_shape():
+    from monorun_tpu.ops.roi_align import multilevel_roi_align_tiled
+
+    rng = np.random.default_rng(8)
+    strides = [2, 4, 8, 16, 32]
+    feats = [
+        jnp.asarray(
+            rng.normal(size=(1, 64 // s, 128 // s, 4)).astype(np.float32)
+        )
+        for s in strides
+    ]
+    rois = np.array(
+        [[0, 5.0, 6.0, 70.0, 50.0], [0, 0.0, 0.0, 120.0, 60.0]], np.float32
+    )
+    ref = multilevel_roi_align(
+        feats, jnp.asarray(rois), strides, (14, 14), finest_scale=28.0,
+        max_ratio=2,
+    )
+    tiled = multilevel_roi_align_tiled(
+        feats, jnp.asarray(rois), strides, (14, 14), finest_scale=28.0,
+        max_ratio=2, tile_hw=(32, 44),
+    )
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=2e-4)
