@@ -244,6 +244,12 @@ def get_thresholds(scores: np.ndarray, num_gt: int, num_sample_pts=41):
     return np.asarray(thresholds)
 
 
+def _native_lib():
+    from . import _native
+
+    return _native.get_lib()
+
+
 def eval_class(
     gt_annos,
     dt_annos,
@@ -253,17 +259,27 @@ def eval_class(
     min_overlap: float,
     compute_aos: bool = False,
     num_sample_pts: int = 41,
+    use_native: bool = True,
 ):
-    """Precision/recall/AOS curves over the 41-point thresholds."""
+    """Precision/recall/AOS curves over the 41-point thresholds.
+
+    The per-image greedy matching loop (the numba-JIT hot path of the
+    reference) runs through the C++ kernels in eval/_native when the
+    shared library builds; the pure-python implementation is the fallback
+    and the correctness oracle (tested equal in tests/test_kitti_eval.py).
+    """
     assert len(gt_annos) == len(dt_annos)
     num_imgs = len(gt_annos)
+    lib = _native_lib() if use_native else None
 
     cleaned = [
         clean_data(gt_annos[i], dt_annos[i], current_class, difficulty)
         for i in range(num_imgs)
     ]
     overlaps = [
-        _metric_overlap(gt_annos[i], dt_annos[i], metric)
+        np.ascontiguousarray(
+            _metric_overlap(gt_annos[i], dt_annos[i], metric), np.float32
+        )
         for i in range(num_imgs)
     ]
     total_valid_gt = sum(c[0] for c in cleaned)
@@ -271,28 +287,74 @@ def eval_class(
     all_thresholds = []
     for i in range(num_imgs):
         _, ig, idt, dc = cleaned[i]
-        _, _, _, _, th = compute_statistics(
-            overlaps[i], gt_annos[i], dt_annos[i], ig, idt, dc, metric,
-            min_overlap, thresh=0.0, compute_fp=False,
-        )
-        all_thresholds += th
+        if lib is not None:
+            num_dt = len(idt)
+            scores = np.ascontiguousarray(dt_annos[i]["score"], np.float32)
+            out = np.zeros(max(num_dt, 1), np.float32)
+            cnt = lib.kitti_tp_scores(
+                overlaps[i] if overlaps[i].size else
+                np.zeros((1, 1), np.float32),
+                num_dt, len(ig),
+                scores if scores.size else np.zeros(1, np.float32),
+                np.ascontiguousarray(ig, np.int32) if ig.size else
+                np.zeros(1, np.int32),
+                np.ascontiguousarray(idt, np.int32) if idt.size else
+                np.zeros(1, np.int32),
+                min_overlap, out,
+            )
+            all_thresholds += out[:cnt].tolist()
+        else:
+            _, _, _, _, th = compute_statistics(
+                overlaps[i], gt_annos[i], dt_annos[i], ig, idt, dc, metric,
+                min_overlap, thresh=0.0, compute_fp=False,
+            )
+            all_thresholds += th
     thresholds = get_thresholds(
         np.asarray(all_thresholds), total_valid_gt, num_sample_pts
     )
 
     pr = np.zeros((len(thresholds), 4))
+    thr32 = np.ascontiguousarray(thresholds, np.float32)
+    pr32 = np.zeros((max(len(thresholds), 1), 4), np.float32)
     for i in range(num_imgs):
         _, ig, idt, dc = cleaned[i]
-        for t, thr in enumerate(thresholds):
-            tp, fp, fn, sim, _ = compute_statistics(
-                overlaps[i], gt_annos[i], dt_annos[i], ig, idt, dc,
-                metric, min_overlap, thresh=thr, compute_fp=True,
-                compute_aos=compute_aos,
+        if lib is not None and len(thresholds):
+            num_dt = len(idt)
+            lib.kitti_stats_thresholds(
+                overlaps[i] if overlaps[i].size else
+                np.zeros((1, 1), np.float32),
+                num_dt, len(ig),
+                np.ascontiguousarray(dt_annos[i]["score"], np.float32)
+                if num_dt else np.zeros(1, np.float32),
+                np.ascontiguousarray(dt_annos[i]["alpha"], np.float32)
+                if num_dt else np.zeros(1, np.float32),
+                np.ascontiguousarray(gt_annos[i]["alpha"], np.float32)
+                if len(ig) else np.zeros(1, np.float32),
+                np.ascontiguousarray(dt_annos[i]["bbox"], np.float32)
+                if num_dt else np.zeros((1, 4), np.float32),
+                np.ascontiguousarray(dc, np.float32) if dc.size else
+                np.zeros((1, 4), np.float32),
+                len(dc),
+                np.ascontiguousarray(ig, np.int32) if ig.size else
+                np.zeros(1, np.int32),
+                np.ascontiguousarray(idt, np.int32) if idt.size else
+                np.zeros(1, np.int32),
+                metric, min_overlap, thr32, len(thresholds),
+                int(compute_aos), pr32,
             )
-            pr[t, 0] += tp
-            pr[t, 1] += fp
-            pr[t, 2] += fn
-            pr[t, 3] += sim
+        else:
+            for t, thr in enumerate(thresholds):
+                tp, fp, fn, sim, _ = compute_statistics(
+                    overlaps[i], gt_annos[i], dt_annos[i], ig, idt, dc,
+                    metric, min_overlap, thresh=thr, compute_fp=True,
+                    compute_aos=compute_aos,
+                )
+                pr[t, 0] += tp
+                pr[t, 1] += fp
+                pr[t, 2] += fn
+                pr[t, 3] += sim
+    if lib is not None:
+        pr = pr32[: len(thresholds)].astype(np.float64)
 
     n_thr = len(thresholds)
     precision = np.zeros(num_sample_pts)

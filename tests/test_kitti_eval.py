@@ -134,3 +134,53 @@ def test_get_thresholds_spacing():
     th = get_thresholds(scores, 100)
     assert len(th) <= 41
     assert (np.diff(th) <= 0).all()
+
+
+def test_native_matches_python():
+    """C++ eval kernels must reproduce the python protocol exactly."""
+    from monorun_tpu.eval._native import get_lib
+    from monorun_tpu.eval.kitti_eval import eval_class
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native eval library unavailable (no g++?)")
+
+    rng = np.random.default_rng(5)
+    gts, dts = [], []
+    for i in range(30):
+        n_gt = int(rng.integers(1, 5))
+        n_dt = int(rng.integers(0, 6))
+        boxes_gt = []
+        for _ in range(n_gt):
+            x, y = rng.uniform(0, 800), rng.uniform(0, 200)
+            w, h = rng.uniform(40, 120), rng.uniform(45, 120)
+            boxes_gt.append([x, y, x + w, y + h])
+        names = rng.choice(["Car", "Van", "DontCare"], n_gt,
+                           p=[0.7, 0.15, 0.15])
+        gts.append(_gt(list(names), boxes_gt))
+        boxes_dt, scores = [], []
+        for _ in range(n_dt):
+            if n_gt and rng.uniform() < 0.6:
+                src = boxes_gt[int(rng.integers(0, n_gt))]
+                jit = rng.uniform(-8, 8, 4)
+                boxes_dt.append(list(np.asarray(src) + jit))
+            else:
+                x, y = rng.uniform(0, 800), rng.uniform(0, 200)
+                boxes_dt.append([x, y, x + 80, y + 60])
+            scores.append(float(rng.uniform(0.1, 1.0)))
+        dts.append(_dt(boxes_dt, scores) if n_dt else _dt([], []))
+
+    for metric in (0, 2):
+        for diff in (0, 1):
+            r_py = eval_class(gts, dts, "Car", diff, metric, 0.5,
+                              compute_aos=True, use_native=False)
+            r_c = eval_class(gts, dts, "Car", diff, metric, 0.5,
+                             compute_aos=True, use_native=True)
+            np.testing.assert_allclose(
+                r_c["precision"], r_py["precision"], atol=1e-5
+            )
+            np.testing.assert_allclose(
+                r_c["recall"], r_py["recall"], atol=1e-5
+            )
+            np.testing.assert_allclose(r_c["aos"], r_py["aos"], atol=1e-5)
