@@ -97,7 +97,11 @@ def train_detector(
         state = load_checkpoint(latest_checkpoint(workdir), state)
 
     state = replicate(state, mesh)
-    step_fn = jax.jit(lambda s, b, r: train_step(model, tx, s, b, r))
+    step_fn = jax.jit(
+        lambda s, b, r: train_step(
+            model, tx, s, b, r, with_grad_stats=tr.log_grad_stats
+        )
+    )
     logger = MetricLogger(workdir, tr.log_interval)
     rng = jax.random.PRNGKey(tr.seed + 1)
 

@@ -193,6 +193,7 @@ class TrainCfg:
     checkpoint_interval: int = 2
     eval_interval: int = 2
     log_interval: int = 10
+    log_grad_stats: bool = False
     seed: int = 0
 
 

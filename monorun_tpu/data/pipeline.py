@@ -158,6 +158,8 @@ def prepare_train_sample(
         images=img,
         cam=ann["cam_intrinsic"],
         img_shapes=np.asarray([float(rh), float(rw)], np.float32),
+        scale_factor=np.ones(2, np.float32),
+        crop_offset=np.zeros(2, np.float32),
         gt_boxes=gt_boxes,
         gt_labels=gt_labels,
         gt_valid=gt_valid,

@@ -533,15 +533,21 @@ def _train_forward(
     cams_pos = jnp.repeat(batch["cam"], P, axis=0)
     shapes_pos = jnp.repeat(batch["img_shapes"], P, axis=0)
 
-    # Horizontal flip keeps all 3D geometry in the ORIGINAL camera frame
-    # (reference RandomFlip3D flips only image/2D boxes/dense fields, and
-    # the flipped coord_2d field carries original-frame u values —
-    # transforms.py:36-51). Our analytic grid lives in augmented coords,
-    # so mirror u back for flipped images: u_orig = (W - 1) - u_aug.
+    # Geometric augs keep all 3D geometry in the ORIGINAL camera frame
+    # (reference RandomFlip3D/Resize3D/Crop3D transform only image/2D
+    # boxes/dense fields; the transformed coord_2d field carries
+    # original-frame pixel values — transforms.py). Our analytic grid
+    # lives in augmented coords, so invert flip -> crop -> resize:
+    #   u_orig = ((flip ? W-1-u : u) + crop_x) / scale_w
+    scale = jnp.repeat(batch["scale_factor"], P, axis=0)   # (BP, 2) [sh,sw]
+    crop = jnp.repeat(batch["crop_offset"], P, axis=0)     # (BP, 2) [x,y]
     u_mirror = (shapes_pos[:, 1] - 1.0)[:, None, None]
     u = coords_2d_roi[..., 0]
     u = jnp.where(flip_pos[:, None, None], u_mirror - u, u)
-    coords_2d_roi = jnp.stack([u, coords_2d_roi[..., 1]], -1)
+    u = (u + crop[:, 0, None, None]) / scale[:, 1, None, None]
+    v = (coords_2d_roi[..., 1] + crop[:, 1, None, None]) \
+        / scale[:, 0, None, None]
+    coords_2d_roi = jnp.stack([u, v], -1)
     pose_gt = pos_gt_3d[:, 3:7]                   # [x, y, z, ry]
     if cfg.projection_head.distance_mode == "z-depth":
         distances = pos_gt_3d[:, 5:6]

@@ -104,12 +104,26 @@ def create_train_state(
     return model, state, tx
 
 
+def grad_stats(grads) -> Dict[str, Array]:
+    """Per-top-level-module gradient norms (OptimizerHookMod's statistics
+    dumps, runner/hooks/optimizer.py:29-57, as step metrics instead of
+    text files)."""
+    import optax as _optax
+
+    out = {}
+    for k, v in grads.items():
+        out[f"gnorm/{k}"] = _optax.global_norm(v)
+    out["gnorm/total"] = _optax.global_norm(grads)
+    return out
+
+
 def train_step(
     model: MonoRUn,
     tx,
     state: TrainState,
     batch: Dict[str, Array],
     rng: Array,
+    with_grad_stats: bool = False,
 ) -> Tuple[TrainState, Dict[str, Array]]:
     """One optimisation step; jit (or pjit via sharded args) outside."""
 
@@ -135,4 +149,6 @@ def train_step(
     )
     metrics = dict(metrics)
     metrics["total_loss"] = total
+    if with_grad_stats:
+        metrics.update(grad_stats(grads))
     return new_state, metrics

@@ -65,6 +65,8 @@ def synthetic_train_batch(
         img_shapes=np.tile(
             np.asarray([[float(h), float(w)]], np.float32), (batch, 1)
         ),
+        scale_factor=np.ones((batch, 2), np.float32),
+        crop_offset=np.zeros((batch, 2), np.float32),
         gt_boxes=gt_boxes,
         gt_labels=rng.integers(0, K, (batch, G)).astype(np.int32),
         gt_valid=gt_valid,
