@@ -20,7 +20,12 @@ import jax.numpy as jnp
 
 Array = jnp.ndarray
 
-STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+STAGE_BLOCKS = {
+    26: (1, 1, 1, 1),   # bottleneck mini-variant for CPU dryruns/tests
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
 
 
 class FrozenBatchNorm(nn.Module):

@@ -170,25 +170,34 @@ def ransac_yaw_pnp(
     keys = jax.random.uniform(rng, (b, H, n)) + jnp.where(valid, 0.0, 10.0)[:, None, :]
     _, subset = jax.lax.top_k(-keys, k)               # (b, H, k) smallest keys
 
-    def gather(arr):  # (b, n, d) -> (b, H, k, d)
-        return jnp.take_along_axis(
-            arr[:, None].repeat(H, 1), subset[..., None], axis=2
-        )
+    # gather only the k-point minimal subsets (no (b, H, n, d) repeats)
+    flat_idx = subset.reshape(b, H * k)
 
-    sub2d = gather(coords_2d).reshape(b * H, k, 2)
-    sub3d = gather(coords_3d).reshape(b * H, k, 3)
-    subw = jnp.take_along_axis(
-        w_point[:, None].repeat(H, 1), subset, axis=2
-    ).reshape(b * H, k)
+    def gather(arr):  # (b, n, d) -> (b*H, k, d)
+        g = jax.vmap(lambda a, i: a[i])(arr, flat_idx)
+        return g.reshape(b * H, k, arr.shape[-1])
+
+    sub2d = gather(coords_2d)
+    sub3d = gather(coords_3d)
+    subw = jax.vmap(lambda a, i: a[i])(w_point, flat_idx).reshape(b * H, k)
     cams = jnp.repeat(cam_mats, H, axis=0)
 
     yaw_h, t_h = dlt_yaw_pnp(sub2d, subw, sub3d, cams)
 
-    err = _reproj_errors(
-        jnp.repeat(coords_2d, H, axis=0),
-        jnp.repeat(coords_3d, H, axis=0),
-        cams, yaw_h, t_h, cfg.z_min,
-    ).reshape(b, H, n)
+    # hypothesis scoring: broadcast poses against the shared point set
+    # instead of repeating the (b, n, d) inputs H times
+    from .geometry import yaw_rotation_matrix
+
+    rot_h = yaw_rotation_matrix(yaw_h.reshape(b, H))          # (b, H, 3, 3)
+    cam_pts = (
+        jnp.einsum("bhij,bnj->bhni", rot_h, coords_3d)
+        + t_h.reshape(b, H, 1, 3)
+    )
+    z = jnp.clip(cam_pts[..., 2:3], cfg.z_min, None)
+    uv_h = jnp.einsum(
+        "bij,bhnj->bhni", cam_mats[:, :2, :2], cam_pts[..., :2] / z
+    ) + cam_mats[:, None, None, :2, 2]
+    err = jnp.linalg.norm(uv_h - coords_2d[:, None], axis=-1)  # (b, H, n)
     inl = (err <= thr[:, None, None]) & valid[:, None, :]
     score = jnp.sum(inl, axis=-1)                     # (b, H)
     # reject hypotheses whose solution placed the object behind the camera
