@@ -27,6 +27,8 @@ def run_eval(
     result_dir: Optional[str] = None,
     print_summary: bool = True,
     progress: bool = True,
+    show_dir: Optional[str] = None,
+    show_score_thr: float = 0.3,
 ) -> Dict[str, float]:
     cfg = session.cfg
     loader = PrefetchLoader(
@@ -50,8 +52,26 @@ def run_eval(
                 labels=np.asarray(det.labels[b]),
                 bboxes_3d=np.asarray(det.bboxes_3d[b]),
                 valid=np.asarray(det.valid[b]),
+                pose_cov=np.asarray(det.pose_cov[b]),
             )
             n_done += 1
+            if show_dir is not None:
+                import os
+
+                import cv2
+
+                from ..utils.visualizer import show_result
+
+                os.makedirs(show_dir, exist_ok=True)
+                img = cv2.imread(ds.image_path(idx))
+                ann = ds.get_ann(idx)
+                show_result(
+                    img, results[idx], ann["cam_intrinsic"],
+                    out_file=os.path.join(
+                        show_dir, os.path.basename(ds.image_path(idx))
+                    ),
+                    score_thr=show_score_thr,
+                )
         if progress:
             rate = n_done / max(time.time() - t0, 1e-9)
             print(

@@ -24,6 +24,9 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--result-dir", default=None,
                    help="write KITTI submission txt files here")
+    p.add_argument("--show-dir", default=None,
+                   help="save camera+BEV visualisations here")
+    p.add_argument("--show-score-thr", type=float, default=0.3)
     p.add_argument("--summary-file", default=None)
     p.add_argument("--criteria", default="R40", choices=["R40", "R11"])
     p.add_argument("--cfg-options", nargs="*", default=[])
@@ -50,7 +53,8 @@ def main():
     )
     ap = run_eval(
         session, ds, batch_size=args.batch_size, metrics=args.eval,
-        result_dir=args.result_dir,
+        result_dir=args.result_dir, show_dir=args.show_dir,
+        show_score_thr=args.show_score_thr,
     )
     if args.summary_file and ap:
         import json
