@@ -58,15 +58,17 @@ def clean_data(gt_anno, dt_anno, current_class: str, difficulty: int):
         if name == "dontcare":
             dc_bboxes.append(gt_anno["bbox"][i])
 
+    # Reference order (eval.py:67-78): the height check comes FIRST, so a
+    # short detection of ANY class is ignored (1) — it can absorb a GT
+    # during matching without scoring a TP — not removed (-1).
     ignored_dt = []
     for j in range(len(dt_anno["name"])):
         name = str(dt_anno["name"][j]).lower()
-        height = dt_anno["bbox"][j, 3] - dt_anno["bbox"][j, 1]
-        if name == cls:
-            if height < MIN_HEIGHT[difficulty]:
-                ignored_dt.append(1)
-            else:
-                ignored_dt.append(0)
+        height = abs(dt_anno["bbox"][j, 3] - dt_anno["bbox"][j, 1])
+        if height < MIN_HEIGHT[difficulty]:
+            ignored_dt.append(1)
+        elif name == cls:
+            ignored_dt.append(0)
         else:
             ignored_dt.append(-1)
 

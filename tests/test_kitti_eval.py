@@ -184,3 +184,38 @@ def test_native_matches_python():
                 r_c["recall"], r_py["recall"], atol=1e-5
             )
             np.testing.assert_allclose(r_c["aos"], r_py["aos"], atol=1e-5)
+
+
+def test_short_wrong_class_det_is_ignored_not_removed():
+    """Reference clean_data (eval.py:67-78) checks height FIRST: a short
+    detection of ANY class is code 1 (ignored) — it can absorb a GT during
+    matching (no FN, no TP) — never -1 (removed), which would leave the GT
+    unmatched (an FN). The two semantics give different FN counts here."""
+    from monorun_tpu.eval.kitti_eval import compute_statistics
+
+    short_box = [100, 100, 200, 130]  # height 30 < easy MIN_HEIGHT 40
+    gt = _gt(["Car"], [BOX])
+    dt = _dt([short_box], [0.9], name="Pedestrian")
+
+    _, ig, idt, dc = clean_data(gt, dt, "Car", 0)
+    assert list(ig) == [0]
+    assert list(idt) == [1]  # ignored, NOT -1
+
+    # overlaps[dt, gt]: force full overlap so the ignored det can absorb
+    overlaps = np.ones((1, 1), np.float32)
+    tp, fp, fn, _, _ = compute_statistics(
+        overlaps, gt, dt, ig, idt, dc, metric=0, min_overlap=0.5,
+        thresh=0.0, compute_fp=True,
+    )
+    # ignored det absorbs the GT: no TP, no FP, and crucially no FN
+    assert (tp, fp, fn) == (0, 0, 0)
+
+
+def test_clean_data_det_codes_matrix():
+    """Height-first det coding: short any-class -> 1, tall same-class -> 0,
+    tall other-class -> -1 (reference eval.py:67-78)."""
+    tall, short = BOX, [300, 100, 400, 130]
+    dt = _dt([tall, short, tall, short], [0.9, 0.8, 0.7, 0.6])
+    dt["name"] = np.asarray(["Car", "Car", "Pedestrian", "Pedestrian"])
+    _, _, idt, _ = clean_data(_gt(["Car"], [BOX]), dt, "Car", 0)
+    assert list(idt) == [0, 1, -1, 1]
