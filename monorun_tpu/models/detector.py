@@ -642,8 +642,9 @@ def _train_forward(
         train=True, valid=pose_ok,
     )
     targets = score_targets(cfg.score_head, ious)
-    samp_w = iou3d_balanced_sample_weights(cfg.score_head, ious, rng_score)
-    samp_w = samp_w * pose_ok
+    samp_w = iou3d_balanced_sample_weights(
+        cfg.score_head, ious, rng_score, valid=pose_ok
+    )
     samp_w = samp_w / jnp.clip(jnp.mean(samp_w), 1e-2, None)
     losses["loss_score"] = sigmoid_bce_loss(
         logits[:, None], targets[:, None], weight=samp_w[:, None],

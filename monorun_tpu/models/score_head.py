@@ -31,7 +31,9 @@ class BatchNormSmooth(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: Array, train: bool) -> Array:
+    def __call__(
+        self, x: Array, train: bool, valid: Optional[Array] = None
+    ) -> Array:
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean_v = self.variable(
@@ -41,12 +43,24 @@ class BatchNormSmooth(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,))
         )
         if train and not self.is_initializing():
-            # update running stats from the batch (only when batch > 1 in
-            # the reference; with fixed-shape padding we always have > 1)
-            m = jnp.mean(x, axis=0)
-            v = jnp.var(x, axis=0, ddof=1)
-            mean_v.value = (1 - self.momentum) * mean_v.value + self.momentum * m
-            var_v.value = (1 - self.momentum) * var_v.value + self.momentum * v
+            # Masked batch moments: the reference only ever sees real RoIs
+            # (mlp_score_head.py:170-175, torch.var_mean unbiased); with
+            # fixed-shape padding the invalid rows must not drag the EMA,
+            # so denominators use sum(valid), not the padded row count.
+            if valid is None:
+                w = jnp.ones((x.shape[0],), x.dtype)
+            else:
+                w = valid.astype(x.dtype)
+            n = jnp.sum(w)
+            m = jnp.sum(x * w[:, None], axis=0) / jnp.clip(n, 1.0, None)
+            v = jnp.sum(
+                w[:, None] * (x - m) ** 2, axis=0
+            ) / jnp.clip(n - 1.0, 1.0, None)
+            # reference updates only when batch size > 1
+            upd = (n > 1).astype(x.dtype)
+            mom = self.momentum * upd
+            mean_v.value = (1 - mom) * mean_v.value + mom * m
+            var_v.value = (1 - mom) * var_v.value + mom * v
         out = (x - mean_v.value) / jnp.sqrt(var_v.value + self.eps)
         return out * scale + bias
 
@@ -75,12 +89,13 @@ class ScoreHead(nn.Module):
         cov_tril = pose_cov[:, ix, iy]                   # (n, 10)
         x = jnp.concatenate([yaw, t_vec, cov_tril, dimensions], axis=1)
         if valid is not None:
-            # keep padded rows from polluting the EMA statistics
+            # sanitize padded rows (their values can be garbage from masked
+            # PnP); EMA moments are masked inside BatchNormSmooth
             x = jnp.where(valid[:, None], x, 0.0)
         if c.use_pose_norm:
             x = BatchNormSmooth(
                 17, momentum=c.pose_norm_momentum, name="pose_norm"
-            )(x, train)
+            )(x, train, valid=valid)
         x = x.astype(self.dtype)
         x = nn.relu(
             nn.Dense(c.pose_fc_out_channels, dtype=self.dtype,
@@ -106,18 +121,25 @@ def score_targets(cfg: ScoreHeadConfig, ious: Array) -> Array:
 
 
 def iou3d_balanced_sample_weights(
-    cfg: ScoreHeadConfig, ious: Array, rng: Array
+    cfg: ScoreHeadConfig, ious: Array, rng: Array,
+    valid: Optional[Array] = None,
 ) -> Array:
     """Stochastic keep-mask balancing pos/neg score targets.
 
     Mirrors core/bbox_3d/samplers/iou3d_balanced_sampler.py:20-56 with a
     smooth keep-rate ramp between strong-neg and strong-pos thresholds.
-    Returns float weights (same shape as ious).
+    The reference's ``num_total = ious.numel()`` only ever counts real
+    RoIs; with fixed-shape padding the counts must come from the valid
+    mask or padded slots skew the pos/neg balance. Returns float weights
+    (same shape as ious), zero on invalid slots.
     """
     thr = cfg.sampler_pos_iou_thr
     fmin, fmax = cfg.sampler_pos_fraction_min, cfg.sampler_pos_fraction_max
-    num_total = ious.size
-    pos = ious >= thr
+    vmask = (
+        jnp.ones(ious.shape, bool) if valid is None else valid.astype(bool)
+    )
+    num_total = jnp.sum(vmask)
+    pos = (ious >= thr) & vmask
     num_pos = jnp.sum(pos)
     num_neg = num_total - num_pos
     num_pos_max = fmax / (1 - fmax) * num_neg
@@ -135,5 +157,5 @@ def iou3d_balanced_sample_weights(
     else:
         keeprate = jnp.where(pos, pos_keep, neg_keep)
     keeprate = jnp.where(balanced, 1.0, keeprate)
-    mask = jax.random.uniform(rng, ious.shape) < keeprate
+    mask = (jax.random.uniform(rng, ious.shape) < keeprate) & vmask
     return mask.astype(jnp.float32)
