@@ -16,7 +16,7 @@ def tiny_config():
     cfg = dataclasses.replace(
         cfg,
         compute_dtype="float32",
-        backbone=dataclasses.replace(cfg.backbone, depth=50),
+        backbone=dataclasses.replace(cfg.backbone, depth=26),
         rpn=dataclasses.replace(
             cfg.rpn, nms_pre=64, nms_post=64, pre_nms_limit=256
         ),
@@ -91,5 +91,6 @@ def test_param_count_plausible(model_and_vars):
     n_params = sum(
         np.prod(p.shape) for p in jax.tree.leaves(variables["params"])
     )
-    # ResNet-50 + FPN + heads should land in the 40M-90M range
-    assert 30e6 < n_params < 120e6, n_params
+    # ResNet-26 + FPN + heads (depth-50 init is covered by
+    # tests/test_checkpoint.py); heads alone are ~25M
+    assert 15e6 < n_params < 90e6, n_params

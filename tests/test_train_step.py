@@ -20,7 +20,7 @@ def tiny_train_config(lidar=False):
     cfg = dataclasses.replace(
         cfg,
         compute_dtype="float32",
-        backbone=dataclasses.replace(cfg.backbone, depth=50),
+        backbone=dataclasses.replace(cfg.backbone, depth=26),
         rpn=dataclasses.replace(
             cfg.rpn, nms_pre=32, nms_post=32, train_nms_pre=32,
             pre_nms_limit=128,
