@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import MonoRUnConfig
+from ..config import (
+    MonoRUnConfig,
+    apply_loss_schedule,
+    schedule_boundaries,
+)
 from ..data.kitti import KITTI3DDataset
 from ..data.loader import PrefetchLoader
 from ..parallel import make_mesh, replicate, shard_batch
@@ -97,18 +101,34 @@ def train_detector(
         state = load_checkpoint(latest_checkpoint(workdir), state)
 
     state = replicate(state, mesh)
-    step_fn = jax.jit(
-        lambda s, b, r: train_step(
-            model, tx, s, b, r, with_grad_stats=tr.log_grad_stats
+
+    def make_step_fn(step_now: int):
+        """Jitted train step specialised to the schedule-applied config
+        (the LossUpdaterHook equivalent: config swaps by dotted path at
+        schedule boundaries; runner/hooks/loss_updater.py:17-57)."""
+        from ..models.detector import MonoRUn
+
+        cfg_s = apply_loss_schedule(cfg, step_now)
+        model_s = MonoRUn(cfg_s) if cfg_s != cfg else model
+        return jax.jit(
+            lambda s, b, r: train_step(
+                model_s, tx, s, b, r, with_grad_stats=tr.log_grad_stats
+            )
         )
-    )
+
+    step = int(jax.device_get(state.step))
+    boundaries = [b for b in schedule_boundaries(cfg) if b > step]
+    step_fn = make_step_fn(step)
     logger = MetricLogger(workdir, tr.log_interval)
     rng = jax.random.PRNGKey(tr.seed + 1)
 
-    step = int(jax.device_get(state.step))
     epoch = step // max(steps_per_epoch, 1)
     while step < total_steps:
         for batch in loader:
+            if boundaries and step >= boundaries[0]:
+                while boundaries and step >= boundaries[0]:
+                    boundaries.pop(0)
+                step_fn = make_step_fn(step)
             batch.pop("_indices")
             sharded = shard_batch(
                 jax.tree.map(jnp.asarray, batch), mesh

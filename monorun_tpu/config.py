@@ -140,8 +140,22 @@ class PoseHeadConfig:
     std_scale: float = 10.0
     ransac_hypotheses: int = 32
     lm_iters: int = 12
-    loss_calib_weight: float = 0.01
-    loss_calib_start_iter: int = 100   # LossUpdaterHook schedule
+    # starts at 0 and is switched on by the default loss_schedule entry
+    # (reference LossUpdaterHook, configs/kitti_multiclass.py:315-325)
+    loss_calib_weight: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LossScheduleEntry:
+    """One scheduled config swap — the generic equivalent of the reference
+    LossUpdaterHook (runner/hooks/loss_updater.py:17-57): when the global
+    step reaches ``step``, the dotted ``attr`` path of the model config is
+    set to ``value`` and the train step is re-specialised. The shipped
+    presets use it to enable loss_calib after iteration 100."""
+
+    step: int
+    attr: str
+    value: Any
 
 
 @dataclasses.dataclass(frozen=True)
@@ -249,6 +263,11 @@ class MonoRUnConfig:
     test: TestCfg = TestCfg()
     data: DataConfig = DataConfig()
     compute_dtype: str = "bfloat16"   # conv/matmul dtype on TPU
+    # scheduled config swaps by dotted path (LossUpdaterHook equivalent);
+    # default mirrors configs/kitti_multiclass.py:315-325
+    loss_schedule: Tuple[LossScheduleEntry, ...] = (
+        LossScheduleEntry(100, "pose_head.loss_calib_weight", 0.01),
+    )
 
     @property
     def num_classes(self) -> int:
@@ -314,6 +333,36 @@ def get_config(name: str) -> MonoRUnConfig:
     if name not in presets:
         raise KeyError(f"unknown config '{name}'; have {sorted(presets)}")
     return presets[name]
+
+
+def set_by_path(cfg: Any, path: str, value: Any) -> Any:
+    """Return a copy of the frozen-dataclass config with the dotted
+    ``path`` set to ``value`` (the reference's rsetattr,
+    runner/hooks/loss_updater.py:12-14, for immutable configs)."""
+    keys = path.split(".")
+
+    def rec(obj, ks):
+        if len(ks) == 1:
+            return dataclasses.replace(obj, **{ks[0]: value})
+        return dataclasses.replace(
+            obj, **{ks[0]: rec(getattr(obj, ks[0]), ks[1:])}
+        )
+
+    return rec(cfg, keys)
+
+
+def apply_loss_schedule(cfg: MonoRUnConfig, step: int) -> MonoRUnConfig:
+    """Config with every schedule entry whose step has been reached applied
+    (in step order, so later entries override earlier ones)."""
+    for e in sorted(cfg.loss_schedule, key=lambda e: e.step):
+        if step >= e.step:
+            cfg = set_by_path(cfg, e.attr, e.value)
+    return cfg
+
+
+def schedule_boundaries(cfg: MonoRUnConfig) -> Tuple[int, ...]:
+    """Sorted unique steps at which the train step must re-specialise."""
+    return tuple(sorted({e.step for e in cfg.loss_schedule}))
 
 
 def apply_overrides(cfg: Any, overrides: Sequence[str]) -> Any:

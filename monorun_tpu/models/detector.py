@@ -615,7 +615,9 @@ def _train_forward(
         ious * flat_pos_valid
     ) / jnp.clip(jnp.sum(flat_pos_valid), 1, None)
 
-    # loss_calib: enabled after loss_calib_start_iter (LossUpdaterHook)
+    # loss_calib: weight 0 until the loss_schedule enables it (the generic
+    # LossUpdaterHook equivalent applies config swaps in the train loop and
+    # re-specialises this step; see config.LossScheduleEntry)
     yaw_diff = (pnp.yaw[:, 0] - pose_gt[:, 3] + jnp.pi) % (2 * jnp.pi) - jnp.pi
     diff = jnp.concatenate(
         [yaw_diff[:, None], pnp.t_vec - pose_gt[:, :3]], axis=1
@@ -623,16 +625,12 @@ def _train_forward(
     from ..ops.linalg_small import spd_inverse
 
     inv_cov = spd_inverse(pose_cov_calib + jnp.eye(4))
-    calib_gate = (step >= cfg.pose_head.loss_calib_start_iter).astype(
-        jnp.float32
-    )
     losses["loss_calib"] = (
         kl_loss_mv(
             jax.lax.stop_gradient(diff), 0, inv_cov,
             weight=pose_ok[:, None].astype(jnp.float32),
         )
         * cfg.pose_head.loss_calib_weight
-        * calib_gate
     )
 
     # ---- score head --------------------------------------------------------

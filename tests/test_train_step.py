@@ -66,7 +66,7 @@ def test_losses_finite_and_complete(setup):
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
     assert int(new_state.step) == 1
-    # loss_calib gated off before iter 100
+    # loss_calib weight is 0 until the loss_schedule enables it at iter 100
     assert float(metrics["loss_calib"]) == 0.0
 
 
