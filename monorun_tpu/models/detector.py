@@ -25,7 +25,11 @@ from ..coders import DimCoder, NOCCoder, ProjErrorCoder
 from ..config import MonoRUnConfig
 from ..ops.nms import NEG_INF, nms_rotated_bev
 from ..ops.pnp import PnPConfig, pnp_uncert
-from ..ops.roi_align import multilevel_roi_align_auto, roi_grid_centers
+from ..ops.roi_align import (
+    multilevel_roi_align_auto,
+    prepare_pyramid,
+    roi_grid_centers,
+)
 from .bbox_head import BBoxHead, get_det_bboxes
 from .fpn import FPNplus
 from .global_head import GlobalHead, slice_pred
@@ -134,10 +138,12 @@ class MonoRUn(nn.Module):
         rois = jnp.concatenate(
             [batch_col[:, None], proposals.reshape(B * P, 4)], axis=1
         )
+        # one flat pyramid shared by the three align calls below
+        pyr = prepare_pyramid(feats[: len(cfg.bbox_head.featmap_strides)])
         roi_feats = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], rois,
             cfg.bbox_head.featmap_strides, (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24,
+            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
         )
         cls_logits, deltas = self.bbox_head(roi_feats)
 
@@ -165,7 +171,7 @@ class MonoRUn(nn.Module):
         reg_feats = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
             cfg.bbox_head.featmap_strides, (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24,
+            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
         )
         gout = self.global_head(reg_feats, train=False, rng=rng_mc)
         dim_enc, dim_var_enc, latent, latent_var = slice_pred(
@@ -180,7 +186,7 @@ class MonoRUn(nn.Module):
             feats[: len(cfg.noc_head.featmap_strides)], det_rois,
             cfg.noc_head.featmap_strides,
             (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
-            cfg.noc_head.finest_scale, max_ratio=2, tile_h=32,
+            cfg.noc_head.finest_scale, max_ratio=2, tile_h=32, pyramid=pyr,
         )
         flip = jnp.zeros((B * M,), bool)
         nout = self.noc_head(
@@ -409,10 +415,11 @@ def _train_forward(
     rois = jnp.concatenate(
         [batch_col[:, None], all_boxes.reshape(-1, 4)], axis=1
     )
+    pyr = prepare_pyramid(feats[: len(cfg.bbox_head.featmap_strides)])
     roi_feats = multilevel_roi_align_auto(
         feats[: len(cfg.bbox_head.featmap_strides)], rois,
         cfg.bbox_head.featmap_strides, (7, 7),
-        cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24,
+        cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
     )
     cls_logits, deltas = self.bbox_head(roi_feats)
 
@@ -470,7 +477,7 @@ def _train_forward(
     reg_feats = multilevel_roi_align_auto(
         feats[: len(cfg.bbox_head.featmap_strides)], pos_rois,
         cfg.bbox_head.featmap_strides, (7, 7),
-        cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24,
+        cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
     )
     gout = self.global_head(reg_feats, train=True, rng=rng_gh)
     dim_enc, _, latent, _ = slice_pred(
@@ -487,7 +494,7 @@ def _train_forward(
         feats[: len(cfg.noc_head.featmap_strides)], pos_rois,
         cfg.noc_head.featmap_strides,
         (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
-        cfg.noc_head.finest_scale, max_ratio=2, tile_h=32,
+        cfg.noc_head.finest_scale, max_ratio=2, tile_h=32, pyramid=pyr,
     )
     flip_pos = jnp.repeat(batch["flip"], P)
     nout = self.noc_head(

@@ -37,7 +37,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .geometry import approx_hessian, forward_proj, jacobian_and_error
+from .geometry import approx_hessian, jacobian_and_error
 from .linalg_small import spd_inverse, spd_solve, spd_valid
 
 Array = jnp.ndarray
@@ -229,58 +229,56 @@ def lm_refine(
 ) -> Tuple[Array, Array, Array]:
     """Batched damped Gauss-Newton on [yaw, t]; all RoIs in lockstep.
 
+    One Jacobian+error evaluation per iteration: the gradient/Hessian of
+    the last *accepted* pose are carried in the loop state, so a trial
+    point costs a single pass over the n points (the cost used for
+    accept/reject is ||err||^2 from the same evaluation). Identical
+    trajectory to the classic two-pass LM, at half the per-iteration work.
+
     Returns (yaw (b, 1), t (b, 3), final_cost (b,)).
     """
     b = coords_2d.shape[0]
 
-    def cost_jac(pose):
+    def eval_ghc(pose):
+        """(gradient (b,4), J^T J (b,4,4), cost (b,)) at pose."""
         yaw = pose[:, :1]
         t = pose[:, 1:]
         jac, err = jacobian_and_error(
             coords_2d, istd, coords_3d, cam_mats, u_range, v_range,
             cfg.z_min, yaw, t, inlier_mask,
         )
+        g = jnp.einsum("bni,bn->bi", jac, err)
+        h = jnp.einsum("bni,bnj->bij", jac, jac)
         cost = jnp.sum(err * err, axis=-1)
-        return jac, err, cost
-
-    def cost_only(pose):
-        yaw = pose[:, :1]
-        t = pose[:, 1:]
-        proj = forward_proj(
-            coords_2d, coords_3d, cam_mats, cfg.z_min, u_range, v_range,
-            yaw, t,
-        )
-        err = proj.error_unweighted * istd
-        if inlier_mask is not None:
-            err = jnp.where(inlier_mask[..., None], err, 0.0)
-        return jnp.sum(err * err, axis=(1, 2))
+        return g, h, cost
 
     pose0 = jnp.concatenate([yaw0, t0], axis=1)       # (b, 4)
     lam0 = jnp.full((b,), cfg.lm_lambda_init)
-    c0 = cost_only(pose0)
+    g0, h0, c0 = eval_ghc(pose0)
 
     def body(_, state):
-        pose, lam, cost = state
-        jac, err, _ = cost_jac(pose)
-        g = jnp.einsum("bni,bn->bi", jac, err)        # (b, 4)
-        h = jnp.einsum("bni,bnj->bij", jac, jac)      # (b, 4, 4)
+        pose, g, h, lam, cost = state
         d = jnp.diagonal(h, axis1=1, axis2=2)
         # Marquardt scaling: damp by lam * diag(J^T J)
         damped = h + jax.vmap(jnp.diag)(lam[:, None] * jnp.clip(d, 1e-8, None))
         delta = spd_solve(damped, -g)
         pose_new = pose + delta
-        cost_new = cost_only(pose_new)
+        g_new, h_new, cost_new = eval_ghc(pose_new)
         accept = (cost_new < cost) & jnp.isfinite(cost_new)
         pose = jnp.where(accept[:, None], pose_new, pose)
+        g = jnp.where(accept[:, None], g_new, g)
+        h = jnp.where(accept[:, None, None], h_new, h)
         cost = jnp.where(accept, cost_new, cost)
         lam = jnp.where(accept, lam * cfg.lm_lambda_down, lam * cfg.lm_lambda_up)
         lam = jnp.clip(lam, 1e-10, 1e8)
-        return pose, lam, cost
+        return pose, g, h, lam, cost
 
-    pose, _, cost = jax.lax.fori_loop(
-        0, cfg.lm_iters, body, (pose0, lam0, c0)
+    pose, _, h, _, cost = jax.lax.fori_loop(
+        0, cfg.lm_iters, body, (pose0, g0, h0, lam0, c0)
     )
-    return pose[:, :1], pose[:, 1:], cost
+    # h is J^T J at the last accepted pose == the returned pose, under the
+    # same mask — callers reuse it as the covariance Hessian for free
+    return pose[:, :1], pose[:, 1:], cost, h
 
 
 def pose_covariance(
@@ -348,14 +346,15 @@ def pnp_uncert(
         inlier = valid0
 
     opt_mask = inlier if cfg.inlier_opt_only else None
-    yaw, t, cost = lm_refine(
+    yaw, t, cost, hess = lm_refine(
         coords_2d, istd, coords_3d, cam_mats, u_range, v_range,
         yaw0, t0, opt_mask, cfg,
     )
-    cov, cov_valid = pose_covariance(
-        coords_2d, istd, coords_3d, cam_mats, u_range, v_range,
-        yaw, t, opt_mask, cfg.z_min,
-    )
+    # cov = (J^T J)^{-1} with PD guard (pnp_uncert.py:77-85); the Hessian
+    # comes straight out of the LM carry (already at the final pose)
+    cov_valid = spd_valid(hess, rel=1e-9)
+    h_safe = jnp.where(cov_valid[:, None, None], hess, jnp.eye(4))
+    cov = spd_inverse(h_safe)
     valid = (
         cov_valid
         & jnp.isfinite(cost)

