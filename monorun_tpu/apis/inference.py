@@ -21,11 +21,24 @@ from ..models import MonoRUn, init_detector
 
 
 class InferenceSession:
-    """Holds the model, variables, and the compiled forward."""
+    """Holds the model, variables, and the compiled forward.
 
-    def __init__(self, cfg: MonoRUnConfig, variables, batch_size: int = 1):
+    With ``mesh`` set (reference: MMDistributedDataParallel test path,
+    tools/test.py:181-187), variables are replicated and every input's
+    batch axis is sharded over the mesh's 'data' axis; XLA partitions the
+    one inference program across the devices. ``batch_size`` must then be
+    a multiple of the mesh size.
+    """
+
+    def __init__(self, cfg: MonoRUnConfig, variables, batch_size: int = 1,
+                 mesh=None):
         self.cfg = cfg
         self.model = MonoRUn(cfg)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicate
+
+            variables = replicate(variables, mesh)
         self.variables = variables
         self.batch_size = batch_size
         self._fn = jax.jit(self.model.apply)
@@ -37,6 +50,13 @@ class InferenceSession:
         shapes: np.ndarray,        # (B, 2)
         seed: int = 0,
     ):
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+
+            images, cam, shapes = shard_batch(
+                (jnp.asarray(images), jnp.asarray(cam), jnp.asarray(shapes)),
+                self.mesh,
+            )
         return self._fn(
             self.variables, jnp.asarray(images), jnp.asarray(cam),
             jnp.asarray(shapes), jax.random.PRNGKey(seed),
@@ -47,13 +67,14 @@ def init_inference(
     config: str | MonoRUnConfig,
     checkpoint: Optional[str] = None,
     batch_size: int = 1,
+    mesh=None,
 ) -> InferenceSession:
     cfg = get_config(config) if isinstance(config, str) else config
     h, w = cfg.data.pad_height, cfg.data.pad_width
     _, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
     if checkpoint:
         variables = load_weights(cfg, variables, checkpoint)
-    return InferenceSession(cfg, variables, batch_size)
+    return InferenceSession(cfg, variables, batch_size, mesh=mesh)
 
 
 def load_weights(cfg: MonoRUnConfig, variables, checkpoint: str):

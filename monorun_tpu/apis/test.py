@@ -4,6 +4,13 @@ Replaces monorun/apis/test.py single_gpu_test + tools/test.py evaluation
 flow — but batched (the reference forces samples_per_gpu=1,
 tools/test.py:160-162) and with host data loading overlapped against
 device compute via the prefetch loader.
+
+Distributed eval (reference multi_gpu_test + collect_results,
+tools/test.py:188-198): pass ``mesh`` to shard each inference batch over
+the local devices; across hosts each process walks its strided dataset
+shard (``parallel.dataset_shard``) and the per-sample results are
+reassembled with ``parallel.allgather_results`` over DCN instead of the
+reference's NCCL/tmpdir collection.
 """
 
 from __future__ import annotations
@@ -29,15 +36,21 @@ def run_eval(
     progress: bool = True,
     show_dir: Optional[str] = None,
     show_score_thr: float = 0.3,
+    distributed: bool = False,
 ) -> Dict[str, float]:
     cfg = session.cfg
+    indices = None
+    if distributed:
+        from ..parallel import dataset_shard
+
+        indices = dataset_shard(len(ds))
     loader = PrefetchLoader(
         ds, cfg.data, batch_size, train=False, shuffle=False,
-        drop_last=False,
+        drop_last=False, indices=indices,
     )
-    results: List[dict] = [None] * len(ds)
+    local: Dict[int, dict] = {}
     t0 = time.time()
-    n_done = 0
+    n_total = len(ds) if indices is None else len(indices)
     for batch in loader:
         det = session.run(
             batch["images"], batch["cam"], batch["img_shapes"],
@@ -45,16 +58,15 @@ def run_eval(
         )
         for b, idx in enumerate(batch["_indices"]):
             idx = int(idx)
-            if results[idx] is not None:
+            if idx in local:
                 continue   # wrapped tail duplicate
-            results[idx] = dict(
+            local[idx] = dict(
                 bboxes_2d=np.asarray(det.bboxes_2d[b]),
                 labels=np.asarray(det.labels[b]),
                 bboxes_3d=np.asarray(det.bboxes_3d[b]),
                 valid=np.asarray(det.valid[b]),
                 pose_cov=np.asarray(det.pose_cov[b]),
             )
-            n_done += 1
             if show_dir is not None:
                 import os
 
@@ -66,20 +78,28 @@ def run_eval(
                 img = cv2.imread(ds.image_path(idx))
                 ann = ds.get_ann(idx)
                 show_result(
-                    img, results[idx], ann["cam_intrinsic"],
+                    img, local[idx], ann["cam_intrinsic"],
                     out_file=os.path.join(
                         show_dir, os.path.basename(ds.image_path(idx))
                     ),
                     score_thr=show_score_thr,
                 )
         if progress:
-            rate = n_done / max(time.time() - t0, 1e-9)
+            rate = len(local) / max(time.time() - t0, 1e-9)
             print(
-                f"\r[eval] {n_done}/{len(ds)} ({rate:.1f} img/s)",
+                f"\r[eval] {len(local)}/{n_total} ({rate:.1f} img/s)",
                 end="", flush=True,
             )
     if progress:
         print()
+    if distributed:
+        from ..parallel import allgather_results
+
+        results = allgather_results(local, len(ds))
+    else:
+        results = [None] * len(ds)
+        for idx, r in local.items():
+            results[idx] = r
     return ds.evaluate(
         results, metrics=metrics, result_dir=result_dir,
         print_summary=print_summary,

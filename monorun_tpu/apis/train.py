@@ -32,13 +32,29 @@ from ..utils.checkpoint import latest_checkpoint, load_checkpoint, \
 
 
 class MetricLogger:
-    """Text + JSONL metric logging (TextLoggerHook equivalent)."""
+    """Text + JSONL + TensorBoard metric logging.
 
-    def __init__(self, workdir: str, interval: int = 10):
+    Covers the reference log_config hook pair (TextLoggerHook +
+    TensorboardLoggerHook, configs/kitti_multiclass.py:299-304). The TB
+    writer is lazy and optional: event files land in workdir/tb/ when the
+    tensorboard package is importable, otherwise logging degrades to
+    text+JSONL with a one-time notice.
+    """
+
+    def __init__(self, workdir: str, interval: int = 10,
+                 tensorboard: bool = True):
         self.interval = interval
         self.path = os.path.join(workdir, "train_log.jsonl")
         os.makedirs(workdir, exist_ok=True)
         self._t0 = time.time()
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(workdir, "tb"))
+            except Exception as e:  # pragma: no cover - env-dependent
+                print(f"[logger] tensorboard disabled ({e})", flush=True)
 
     def log(self, step: int, epoch: int, metrics: Dict[str, jnp.ndarray]):
         if step % self.interval:
@@ -48,11 +64,26 @@ class MetricLogger:
                    wall=round(time.time() - self._t0, 1))
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k not in ("step", "epoch"):
+                    self._tb.add_scalar(f"train/{k}", v, step)
         msg = " ".join(
             f"{k}={rec[k]:.4f}" for k in sorted(rec) if k.startswith("loss")
         )
         print(f"[e{epoch} it{step}] total={rec.get('total_loss', 0):.4f} "
               f"{msg} iou={rec.get('mean_iou', 0):.3f}", flush=True)
+
+    def log_eval(self, step: int, ap: Dict[str, float]):
+        """Scalar AP metrics from periodic validation (EvalHook logs)."""
+        if self._tb is not None and ap:
+            for k, v in ap.items():
+                self._tb.add_scalar(f"val/{k}", float(v), step)
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.flush()
+            self._tb.close()
 
 
 def train_detector(
@@ -119,7 +150,8 @@ def train_detector(
     step = int(jax.device_get(state.step))
     boundaries = [b for b in schedule_boundaries(cfg) if b > step]
     step_fn = make_step_fn(step)
-    logger = MetricLogger(workdir, tr.log_interval)
+    logger = MetricLogger(workdir, tr.log_interval,
+                          tensorboard=tr.tensorboard)
     rng = jax.random.PRNGKey(tr.seed + 1)
 
     epoch = step // max(steps_per_epoch, 1)
@@ -149,11 +181,12 @@ def train_detector(
             and tr.eval_interval
             and epoch % tr.eval_interval == 0
         ):
-            _run_val(cfg, state, val_ds)
+            logger.log_eval(step, _run_val(cfg, state, val_ds))
         if max_steps is not None and step >= max_steps:
             break
 
     save_checkpoint(workdir, jax.device_get(state), step)
+    logger.close()
     return state
 
 

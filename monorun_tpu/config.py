@@ -208,6 +208,7 @@ class TrainCfg:
     eval_interval: int = 2
     log_interval: int = 10
     log_grad_stats: bool = False
+    tensorboard: bool = True   # reference TensorboardLoggerHook
     seed: int = 0
 
 

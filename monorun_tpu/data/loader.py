@@ -31,8 +31,15 @@ class PrefetchLoader:
         prefetch: int = 4,
         max_pts: int = 512,
         drop_last: Optional[bool] = None,
+        indices: Optional[np.ndarray] = None,
     ):
+        """``indices`` restricts iteration to a subset of the dataset —
+        the per-process shard in distributed eval (reference:
+        DistributedSampler in mmcv's build_dataloader)."""
         self.ds = ds
+        self.indices = (
+            None if indices is None else np.asarray(indices, np.int64)
+        )
         self.data_cfg = data_cfg
         self.batch_size = batch_size
         self.train = train
@@ -44,13 +51,14 @@ class PrefetchLoader:
         self.epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.ds)
+        n = len(self.ds) if self.indices is None else len(self.indices)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_order(self) -> np.ndarray:
-        idx = np.arange(len(self.ds))
+        idx = (np.arange(len(self.ds)) if self.indices is None
+               else self.indices.copy())
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)

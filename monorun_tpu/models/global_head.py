@@ -131,9 +131,9 @@ def slice_pred(
         if cfg.latent_class_agnostic:
             return arr
         r = arr.reshape(arr.shape[0], -1, per)
-        return jnp.take_along_axis(
-            r, labels[:, None, None].astype(jnp.int32), axis=1
-        )[:, 0]
+        # masked select-reduce; tiny-axis gathers are slow on TPU
+        sel = labels[:, None] == jnp.arange(r.shape[1])
+        return jnp.sum(jnp.where(sel[..., None], r, 0.0), axis=1)
 
     p = pick(dim_latent_pred)
     v = pick(dim_latent_var)

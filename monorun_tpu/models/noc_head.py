@@ -92,10 +92,13 @@ class NOCHead(nn.Module):
         pred = pred.astype(jnp.float32)
 
         if c.flip_correction:
-            # channel-major split: [flip0-bank, flip1-bank]
+            # channel-major split: [flip0-bank, flip1-bank]; a where-select
+            # (not take_along_axis: tiny-axis gathers lower to slow TPU
+            # gather kernels on lane-starved layouts)
             pred = pred.reshape(pred.shape[:-1] + (2, per_bank))
-            sel = flip.astype(jnp.int32)[:, None, None, None, None]
-            pred = jnp.take_along_axis(pred, sel, axis=-2)[..., 0, :]
+            pred = jnp.where(
+                flip[:, None, None, None], pred[..., 1, :], pred[..., 0, :]
+            )
 
         noc, logstd = self.slice_pred(pred, labels)
         return NOCHeadOutput(noc, logstd)
@@ -112,9 +115,12 @@ class NOCHead(nn.Module):
         if c.class_agnostic:
             return all_noc, all_logstd
         n, h, w, _ = pred.shape
-        lab = labels[:, None, None, None, None].astype(jnp.int32)
+        # masked select-reduce over the class axis (VPU-exact; gathers and
+        # MXU one-hot matmuls are slower / bf16-rounding respectively)
+        sel = (labels[:, None] == jnp.arange(ncls))  # (n, ncls)
+        m = sel[:, None, None, :, None]
         noc = all_noc.reshape(n, h, w, ncls, c.noc_channels)
-        noc = jnp.take_along_axis(noc, lab, axis=-2)[..., 0, :]
+        noc = jnp.sum(jnp.where(m, noc, 0.0), axis=-2)
         logstd = all_logstd.reshape(n, h, w, ncls, c.uncert_channels)
-        logstd = jnp.take_along_axis(logstd, lab, axis=-2)[..., 0, :]
+        logstd = jnp.sum(jnp.where(m, logstd, 0.0), axis=-2)
         return noc, logstd

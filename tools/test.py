@@ -30,6 +30,11 @@ def parse_args():
     p.add_argument("--summary-file", default=None)
     p.add_argument("--criteria", default="R40", choices=["R40", "R11"])
     p.add_argument("--cfg-options", nargs="*", default=[])
+    p.add_argument("--distributed", action="store_true",
+                   help="shard batches over all local devices and, under "
+                        "jax.distributed, the dataset over processes "
+                        "(reference: tools/test.py --launcher + "
+                        "multi_gpu_test)")
     return p.parse_args()
 
 
@@ -48,13 +53,24 @@ def main():
     ds = KITTI3DDataset(
         root, lst, classes=cfg.data.classes, with_labels=labels
     )
+    mesh = None
+    if args.distributed:
+        from monorun_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        if args.batch_size % mesh.devices.size:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be a multiple of "
+                f"the mesh size {mesh.devices.size}"
+            )
     session = init_inference(
-        cfg, args.checkpoint, batch_size=args.batch_size
+        cfg, args.checkpoint, batch_size=args.batch_size, mesh=mesh
     )
     ap = run_eval(
         session, ds, batch_size=args.batch_size, metrics=args.eval,
         result_dir=args.result_dir, show_dir=args.show_dir,
         show_score_thr=args.show_score_thr,
+        distributed=args.distributed,
     )
     if args.summary_file and ap:
         import json
