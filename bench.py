@@ -34,6 +34,9 @@ def main():
     )
 
     model, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
+    from monorun_tpu.apis.inference import _precast_kernels
+
+    variables = _precast_kernels(cfg, variables)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
@@ -58,7 +61,10 @@ def main():
     # n times with a data dependency between iterations; one host fetch
     # closes the measurement. Slope between two trip counts removes the
     # fixed dispatch/fetch overhead.
-    def run_n(variables, images, n, key):
+    # weights are closed over (compile-time constants): the serving path
+    # (apis/inference.InferenceSession) freezes them the same way, which
+    # lets XLA pre-pack conv kernels instead of relaying them out per call
+    def run_n(images, n, key):
         def body(i, carry):
             det = model.apply(
                 variables, images + carry * 0.0, cam, shapes,
@@ -72,7 +78,7 @@ def main():
 
     def timed(n: int) -> float:
         t0 = time.time()
-        checksum = float(fn(variables, images, n, jax.random.PRNGKey(1)))
+        checksum = float(fn(images, n, jax.random.PRNGKey(1)))
         dt = time.time() - t0
         print(f"n={n} dt={dt:.3f}s checksum={checksum:.3f}", file=sys.stderr)
         return dt

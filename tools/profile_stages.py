@@ -187,7 +187,9 @@ def main():
         return s
 
     def make_loop(fwd, wrap=True):
-        def run_n(variables, images, n):
+        # variables closed over = compile-time constants, matching the
+        # frozen-weight serving path (see apis/inference.InferenceSession)
+        def run_n(images, n):
             def body(i, carry):
                 r = model.apply(variables, images + carry * 1e-12, method=fwd)
                 return _chk(r) if wrap else r
@@ -205,10 +207,10 @@ def main():
         ("full pipeline", fwd_full, False),
     ]:
         fn = make_loop(fwd, wrap)
-        float(fn(variables, images, 1))   # compile
+        float(fn(images, 1))   # compile
         def t(n):
             t0 = time.time()
-            float(fn(variables, images, n))
+            float(fn(images, n))
             return time.time() - t0
         t(1)
         per = (min(t(N_LONG), t(N_LONG)) - min(t(N_SHORT), t(N_SHORT))) / (
