@@ -10,13 +10,15 @@ up_kernel=5, encoder_kernel=3, compressed_channels=64, scale=2):
 3. each upsampled output pixel is the kernel-weighted sum of the k_up x
    k_up input neighborhood around its source position.
 
-Step 3 is VPU-bound (per-position kernels — no shared operand, so no
-MXU): it is expressed as k_up^2 shift-multiply-accumulate terms, which
-XLA fuses into one pass over the output with no (N, H, W, k^2, C) patch
-tensor in HBM. Measured on v5e this is ~1.4x faster than the
-patch-extraction + einsum form (which materialises ~2 GB of patches at
-inference shapes) and ~1.2x faster than a hand-written Pallas kernel
-(whose k_x-shifted tile reads land on misaligned sublanes).
+Step 3 is patch extraction (an im2col convolution — the TPU conv
+emitter produces it in a conv-canonical layout) followed by one einsum
+whose output dimension order is already the depth-to-space order, so
+the final reshape is contiguous. Formulation chosen by measuring each
+variant WITH its consumer: a k^2-term shift-multiply-accumulate loop
+looks faster standalone (9 vs 13 ms summed to a scalar) but poisons the
+following 3x3 conv's input layout — carafe+conv measured 17.9 ms fused
+vs 9.3 ms for this form at inference shapes (N=400) on v5e. A Pallas
+kernel loses similarly (misaligned sublane reads on the k_x shifts).
 """
 
 from __future__ import annotations
@@ -36,20 +38,17 @@ def carafe(features: Array, kernels: Array, k_up: int, scale: int) -> Array:
     Returns (N, s*H, s*W, C).
     """
     n, h, w, c = features.shape
-    pad = (k_up - 1) // 2
-    xp = jnp.pad(features, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    out = None
-    for ky in range(k_up):
-        for kx in range(k_up):
-            xk = xp[:, ky : ky + h, kx : kx + w, :]    # (N, H, W, C)
-            kk = kernels[..., ky * k_up + kx]          # (N, H, W, s2)
-            term = kk[..., None] * xk[..., None, :]    # (N, H, W, s2, C)
-            out = term if out is None else out + term
-    # depth-to-space: s*s ordered (sy, sx)
     s = scale
-    out = out.reshape(n, h, w, s, s, c)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * s, w * s, c)
-    return out
+    k2 = k_up * k_up
+    patches = jax.lax.conv_general_dilated_patches(
+        features, (k_up, k_up), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).reshape(n, h, w, c, k2)        # channel-major taps: [c, ky, kx]
+    # kernel pre-split (N,H,sy,W,sx,k2) so the einsum output is emitted in
+    # depth-to-space order and the final reshape merges adjacent axes
+    kern = kernels.reshape(n, h, w, s, s, k2).transpose(0, 1, 3, 2, 4, 5)
+    out = jnp.einsum("nhawbk,nhwck->nhawbc", kern, patches)
+    return out.reshape(n, h * s, w * s, c)
 
 
 class CARAFEPack(nn.Module):
