@@ -166,9 +166,20 @@ def ransac_yaw_pnp(
     k = cfg.ransac_min_points
     w_point = jnp.mean(istd, axis=-1) * valid
 
-    # sample k valid indices per hypothesis: random keys, invalid pushed last
+    # sample k valid indices per hypothesis: random keys, invalid pushed
+    # last, one argmin per contiguous segment of n/k points. A top_k over
+    # n keys costs a full sort (4.3 ms at inference scale vs ~0 for the
+    # segmented argmin), and since the points are the RoI's 28x28 grid in
+    # row-major order, one-point-per-band sampling also spreads every
+    # minimal set vertically across the object — better-conditioned
+    # hypotheses than unconstrained uniform draws.
+    assert n % k == 0, (n, k)
     keys = jax.random.uniform(rng, (b, H, n)) + jnp.where(valid, 0.0, 10.0)[:, None, :]
-    _, subset = jax.lax.top_k(-keys, k)               # (b, H, k) smallest keys
+    seg = n // k
+    subset = (
+        jnp.argmin(keys.reshape(b, H, k, seg), axis=-1)
+        + jnp.arange(k)[None, None, :] * seg
+    )                                                  # (b, H, k)
 
     # gather only the k-point minimal subsets (no (b, H, n, d) repeats)
     flat_idx = subset.reshape(b, H * k)

@@ -3,18 +3,24 @@
 XLA's gather lowers the 4-tap sampling to millions of 512-byte random
 reads (~7% of HBM bandwidth). This kernel does what the hardware wants:
 
-* the feature pyramid is laid out as one (rows, C) HBM buffer with every
-  level's width padded to a multiple of 16 so that any tile row start is
-  16-aligned (Mosaic's sublane tiling for bf16),
-* per RoI, Th row segments of width Tw are DMA'd into VMEM,
-* the aligned output is two small MXU matmuls with per-RoI hat-function
-  matrices (Y (oh x Th) @ tile @ X^T (Tw x ow)) folding bilinear weights,
-  border rules, and adaptive bin averaging — the same separable math as
-  roi_align.multilevel_roi_align_tiled, which is unit-tested against the
-  reference RoIAlign semantics.
+* every pyramid level is laid out as a 3-D ``(B*rows, row_len, C)`` HBM
+  buffer (row-major and transposed orientations): dimension 0 is untiled,
+  so each RoI's tile is ONE strided DMA at an arbitrary row origin — the
+  previous per-row-segment scheme issued Th copies of 32 KB per RoI and
+  was DMA-issue-bound (measured 21 ms for 4000 RoIs at batch 4; the
+  single-copy layout removes ~24x of the issue overhead). The in-row
+  (sublane) origin is snapped down to the bf16 tile multiple of 16, which
+  the tile width budgets for.
+* per RoI, the aligned output is two small MXU matmuls with per-RoI
+  hat-function matrices (Y (oh x Th) @ tile @ X^T (Tw x ow)) folding
+  bilinear weights, border rules, and adaptive bin averaging — the same
+  separable math as roi_align.multilevel_roi_align_tiled, which is
+  unit-tested against the reference RoIAlign semantics.
+* double-buffered: each grid step owns two half-blocks of RoIs and
+  overlaps half h's DMA with half (1-h)'s compute.
 
-Grid = RoI blocks; row starts are scalar-prefetched so DMAs issue
-immediately at each grid step.
+Grid = RoI blocks; buffer ids / row / column origins are scalar-prefetched
+so DMAs issue immediately at each grid step.
 """
 
 from __future__ import annotations
@@ -31,69 +37,68 @@ from .roi_align import _axis_interp_matrix, assign_fpn_levels
 
 Array = jnp.ndarray
 
-ALIGN = 16   # row alignment (bf16 sublane tiling)
+# guard rows appended after each level buffer so row overruns of the last
+# image land in zeros; also the minimum padded in-row extent so any tile
+# width up to MAX_TW stays in bounds
+MAX_TH, MAX_TW = 32, 64
 
 
 def _kernel(
-    row0_ref,            # (N,) int32 — first tile row per RoI
-    wl_ref,              # (N,) int32 — padded level width per RoI
-    flat_ref,            # (rows, C) HBM pyramid (padded widths)
-    y_ref,               # (2*KROI, oh, Th) VMEM
-    x_ref,               # (2*KROI, ow, Tw) VMEM
-    out_ref,             # (2*KROI, oh, ow, C) VMEM
-    tile0_ref,           # (KROI, Th, Tw, C) VMEM scratch, half 0
-    tile1_ref,           # (KROI, Th, Tw, C) VMEM scratch, half 1
-    sem,                 # DMA semaphores (2, KROI)
-    *,
+    buf_ref,             # (N,) int32 — which of the 2L level buffers
+    r0_ref,              # (N,) int32 — first tile row in that buffer
+    c0_ref,              # (N,) int32 — in-row origin (16-aligned)
+    *refs,
+    nbufs: int,
     kroi: int,
     th: int,
     tw: int,
 ):
-    """Double-buffered pipeline, two half-blocks per grid step.
+    """refs = [buf_0..buf_{2L-1}, y_ref, x_ref, out_ref, tile0, tile1, sem].
 
-    Each grid step owns 2*kroi RoIs (halves 0 and 1). Half h's tiles are
-    DMA'd while the previous half computes: the kernel issues half 1
-    before computing half 0, and issues the *next step's* half 0 before
-    computing half 1. All scratch indices are static (Mosaic cannot
-    shape-cast dynamically indexed VMEM slices), so no predicated compute
-    is needed — only the DMA issues are bounds-guarded.
+    Double-buffered: issue half 1, compute half 0 (waiting per-RoI),
+    issue next step's half 0, compute half 1.
     """
+    bufs = refs[:nbufs]
+    y_ref, x_ref, out_ref, tile0_ref, tile1_ref, sem = refs[nbufs:]
     blk = pl.program_id(0)
     nblk = pl.num_programs(0)
     tiles = (tile0_ref, tile1_ref)
 
-    def dma(step, half, r, k):
+    def dma(step, half, r, b):
         i = (step * 2 + half) * kroi + r
-        # row0, wl, and x-origins are all ALIGN-multiples by construction.
-        # One semaphore per RoI (not per row): sflag space is tiny, and
-        # waiting once per issued copy on the shared semaphore is exact.
-        start = pl.multiple_of(row0_ref[i] + k * wl_ref[i], ALIGN)
+        c0 = pl.multiple_of(c0_ref[i], 16)
         return pltpu.make_async_copy(
-            flat_ref.at[pl.ds(start, tw), :],
-            tiles[half].at[r, k],
+            bufs[b].at[pl.ds(r0_ref[i], th), pl.ds(c0, tw), :],
+            tiles[half].at[r],
             sem.at[half, r],
         )
 
     def issue(step, half):
         for r in range(kroi):
-            for k in range(th):
-                dma(step, half, r, k).start()
+            i = (step * 2 + half) * kroi + r
+            for b in range(nbufs):
+                @pl.when(buf_ref[i] == b)
+                def _():
+                    dma(step, half, r, b).start()
 
     def compute(half):
         c = tile0_ref.shape[-1]
         for r in range(kroi):
-            for k in range(th):
-                dma(blk, half, r, k).wait()
+            i = (blk * 2 + half) * kroi + r
+            for b in range(nbufs):
+                @pl.when(buf_ref[i] == b)
+                def _():
+                    dma(blk, half, r, b).wait()
             tile = tiles[half][r].reshape(th, tw * c)
             o = half * kroi + r
             t1 = jnp.dot(
                 y_ref[o], tile, preferred_element_type=jnp.float32
-            ).reshape(-1, tw, c)                    # (oh, Tw, C)
+            ).reshape(-1, tw, c)                        # (oh, Tw, C)
             out = jax.lax.dot_general(
                 x_ref[o], t1,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                       # (ow, oh, C)
+            )                                           # (ow, oh, C)
             out_ref[o] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
 
     @pl.when(blk == 0)
@@ -110,66 +115,48 @@ def _kernel(
     compute(1)
 
 
-def _pad_width(w: int) -> int:
-    return -(-w // ALIGN) * ALIGN
-
-
-# guard rows appended after the pyramid so row-segment overruns of any
-# supported tile size land in zeros ((Th+2) * Tw worst case)
-MAX_TH, MAX_TW = 32, 96
-
-
 def prepare_flat_pyramid(features: Sequence[Array]):
-    """Dual-orientation flat pyramid shared across align calls.
+    """Dual-orientation per-level 2-D buffers shared across align calls.
 
-    Returns (flat (rows, C), sizes, wpads, hpads, offs_rm, offs_t, total, B).
+    Returns (bufs, sizes, B) where bufs[2*l] is level l row-major as
+    ``(B*H_l + MAX_TH, max(W_l, MAX_TW) * C)`` and bufs[2*l + 1] is the
+    transposed orientation ``(B*W_l + MAX_TH, max(H_l, MAX_TW) * C)``.
 
-    Every level is stored twice: row-major (rows indexed by y, row length
-    = padded W) and transposed (rows indexed by x, row length = padded H).
     Each RoI later reads the orientation whose *short* axis is the tile's
     row dimension: the short side of an RoI at its mmdet-assigned level is
     bounded by its finest_scale (~<=22/30 rows incl. halo) for ANY aspect
     ratio, while the long side (up to finest*sqrt(aspect)) fits in the
     wide in-row direction. A single-orientation tile silently clips tall
-    RoIs (pedestrians) — this layout makes the tile exact for aspect
-    ratios up to ((Tw-18)/finest)^2.
+    RoIs (pedestrians).
 
-    Build once per forward — the pad+concat+transpose copies the pyramid
-    (~2 x 85 MB/img), pure HBM traffic wasted if repeated.
+    Build once per forward — the pad+concat+transpose copies the pyramid,
+    pure HBM traffic wasted if repeated.
     """
     B = features[0].shape[0]
     C = features[0].shape[-1]
     fdtype = features[0].dtype
     sizes = [(f.shape[1], f.shape[2]) for f in features]
-    wpads = [_pad_width(w) for _, w in sizes]
-    hpads = [_pad_width(h) for h, _ in sizes]
-    offs_rm, offs_t = [], []
-    off = 0
-    for (h, _), wp in zip(sizes, wpads):
-        offs_rm.append(off)
-        off += h * wp
-    for (_, w), hp in zip(sizes, hpads):
-        offs_t.append(off)
-        off += w * hp
-    total = off
-    parts = []
-    for f, (h, w), wp in zip(features, sizes, wpads):
-        if wp != w:
-            f = jnp.pad(f, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
-        parts.append(f.reshape(B, -1, C))
-    for f, (h, w), hp in zip(features, sizes, hpads):
-        ft = jnp.swapaxes(f, 1, 2)                      # (B, W, H, C)
-        if hp != h:
-            ft = jnp.pad(ft, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
-        parts.append(ft.reshape(B, -1, C))
-    flat = jnp.concatenate(parts, axis=1).reshape(B * total, C)
-    flat = jnp.concatenate(
-        [flat, jnp.zeros(((MAX_TH + 2) * MAX_TW, C), fdtype)], axis=0
-    )
-    return (
-        flat, tuple(sizes), tuple(wpads), tuple(hpads),
-        tuple(offs_rm), tuple(offs_t), total, B,
-    )
+    bufs = []
+    # +16 in-row slack: the 16-snapped tile origin may sit up to 15
+    # columns left of the right-edge-clipped ideal, so reads can extend
+    # up to 15 columns past the level extent (zero-weighted taps)
+    for f, (h, w) in zip(features, sizes):
+        wp = max(w, MAX_TW) + 16
+        fr = jnp.pad(f, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+        fr = fr.reshape(B * h, wp, C)
+        fr = jnp.concatenate(
+            [fr, jnp.zeros((MAX_TH, wp, C), fdtype)], axis=0
+        )
+        hp = max(h, MAX_TW) + 16
+        ft = jnp.swapaxes(f, 1, 2)                       # (B, W, H, C)
+        ft = jnp.pad(ft, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+        ft = ft.reshape(B * w, hp, C)
+        ft = jnp.concatenate(
+            [ft, jnp.zeros((MAX_TH, hp, C), fdtype)], axis=0
+        )
+        bufs.append(fr)
+        bufs.append(ft)
+    return tuple(bufs), tuple(sizes), B
 
 
 def multilevel_roi_align_pallas(
@@ -179,7 +166,7 @@ def multilevel_roi_align_pallas(
     out_size: Tuple[int, int],
     finest_scale: float = 56.0,
     max_ratio: int = 3,
-    tile_hw: Tuple[int, int] = (24, 64),
+    tile_hw: Tuple[int, int] = (24, 48),
     kroi: int = 8,
     pyramid=None,                # optional prepare_flat_pyramid output
 ) -> Array:
@@ -196,21 +183,16 @@ def multilevel_roi_align_pallas(
     n = rois.shape[0]
     L = len(features)
     Th, Tw = tile_hw
-    assert Tw % ALIGN == 0, Tw
     assert Th <= MAX_TH and Tw <= MAX_TW, (Th, Tw)
     fdtype = features[0].dtype
 
     if pyramid is None:
         pyramid = prepare_flat_pyramid(features)
-    flat, sizes, wpads, hpads, offs_rm, offs_t, total, B = pyramid
+    bufs, sizes, B = pyramid
 
     stride_arr = jnp.asarray([float(s) for s in strides])
     h_arr = jnp.asarray([h for h, _ in sizes], jnp.float32)
     w_arr = jnp.asarray([w for _, w in sizes], jnp.float32)
-    wpad_arr = jnp.asarray(wpads, jnp.int32)
-    hpad_arr = jnp.asarray(hpads, jnp.int32)
-    offrm_arr = jnp.asarray(offs_rm, jnp.int32)
-    offt_arr = jnp.asarray(offs_t, jnp.int32)
 
     n_pad = (-n) % (2 * kroi)
     if n_pad:
@@ -255,34 +237,41 @@ def multilevel_roi_align_pallas(
 
     a0 = jnp.clip(jnp.floor(jnp.clip(a_coords.min(axis=(1, 2)), 0.0, None)),
                   0.0, jnp.clip(A_size - Th, 0.0, None))
-    # in-row origin snapped DOWN to the alignment so every tile row start
-    # (base + a0 * rowlen + b0) is a multiple of ALIGN
+    # in-row origin snapped DOWN to the bf16 sublane tile (16) so the DMA
+    # source slice start is provably aligned; the upper clip allows up to
+    # +15 so right-edge RoIs keep full coverage after the snap (the
+    # pyramid buffers carry 16 columns of zero slack for the overrun)
     b0 = jnp.clip(jnp.floor(jnp.clip(b_coords.min(axis=(1, 2)), 0.0, None)),
-                  0.0, jnp.clip(B_size - Tw, 0.0, None))
-    b0 = jnp.floor(b0 / ALIGN) * ALIGN
+                  0.0, jnp.clip(B_size - Tw + 15.0, 0.0, None))
+    b0 = jnp.floor(b0 / 16.0) * 16.0
 
     Y = _axis_interp_matrix(a_coords, ma[:, :1], ga, a0, A_size, Th
                             ).astype(fdtype)
     X = _axis_interp_matrix(b_coords, mb[:, :1], gb, b0, B_size, Tw
                             ).astype(fdtype)
 
-    rowlen = jnp.where(tmask, hpad_arr[lvls], wpad_arr[lvls])
-    off = jnp.where(tmask, offt_arr[lvls], offrm_arr[lvls])
-    base = rois[:, 0].astype(jnp.int32) * total + off
-    row0 = (base + a0.astype(jnp.int32) * rowlen + b0.astype(jnp.int32)
-            ).astype(jnp.int32)
+    # tile-row count of the chosen buffer (H row-major, W transposed)
+    rows = jnp.where(tmask, Wn, Hn).astype(jnp.int32)
+    batch = rois[:, 0].astype(jnp.int32)
+    r0 = batch * rows + a0.astype(jnp.int32)
+    c0 = b0.astype(jnp.int32)
+    buf_id = (lvls * 2 + tmask.astype(jnp.int32)).astype(jnp.int32)
 
     grid = m // (2 * kroi)
     out = pl.pallas_call(
-        functools.partial(_kernel, kroi=kroi, th=Th, tw=Tw),
+        functools.partial(
+            _kernel, nbufs=2 * L, kroi=kroi, th=Th, tw=Tw
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),       # flat pyramid
-                pl.BlockSpec((2 * kroi, oh, Th), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((2 * kroi, ow, Tw), lambda i, *_: (i, 0, 0)),
-            ],
+            in_specs=(
+                [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * L)
+                + [
+                    pl.BlockSpec((2 * kroi, oh, Th), lambda i, *_: (i, 0, 0)),
+                    pl.BlockSpec((2 * kroi, ow, Tw), lambda i, *_: (i, 0, 0)),
+                ]
+            ),
             out_specs=pl.BlockSpec(
                 (2 * kroi, oh, ow, C), lambda i, *_: (i, 0, 0, 0)
             ),
@@ -296,7 +285,7 @@ def multilevel_roi_align_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(row0, rowlen, flat, Y, X)
+    )(buf_id, r0, c0, *bufs, Y, X)
     # transposed rois come back (ow, oh)-ordered
     out = jnp.where(
         tmask[:, None, None, None], jnp.swapaxes(out, 1, 2), out

@@ -38,6 +38,9 @@ def main():
     cfg = get_config("kitti_multiclass")
     h, w = cfg.data.pad_height, cfg.data.pad_width
     model, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
+    from monorun_tpu.apis.inference import _precast_kernels
+
+    variables = _precast_kernels(cfg, variables)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(0, 1, (BATCH, h, w, 3)).astype(np.float32))
     cam = jnp.asarray(np.tile(
