@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..config import RPNConfig
 from ..ops.box_coder import delta_decode, multilevel_anchors
-from ..ops.nms import NEG_INF, nms
+from ..ops.nms import NEG_INF, fast_topk, nms
 
 Array = jnp.ndarray
 
@@ -69,7 +69,10 @@ def get_proposals(
         s = score.reshape(B, -1)                      # (B, HWA) logits
         p = pred.reshape(B, -1, 4)
         k = min(nms_pre, s.shape[1])
-        top_s, top_i = jax.lax.top_k(s, k)
+        # exact two-pass top-k: lax.top_k's index payload is a 34 ms
+        # variadic sort at stride-4 scale; rank order is irrelevant here
+        # (the global cap + NMS below re-rank everything)
+        top_s, top_i = fast_topk(s, k)
         top_anc = anc[top_i]                          # (B, k, 4)
         top_p = jnp.take_along_axis(p, top_i[..., None], axis=1)
         boxes = delta_decode(
@@ -98,7 +101,7 @@ def get_proposals(
     # cap candidates before the O(k^2) NMS
     K = boxes.shape[1]
     cap = min(cfg.pre_nms_limit, K)
-    top_s, top_i = jax.lax.top_k(scores, cap)
+    top_s, top_i = fast_topk(scores, cap)
     boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
     lvls = jnp.take_along_axis(lvls, top_i, axis=1)
     scores = top_s
