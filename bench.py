@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from monorun_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 ITERS = 20
 

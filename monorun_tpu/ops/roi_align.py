@@ -480,8 +480,12 @@ def multilevel_roi_align_auto(
     if jax.default_backend() == "tpu":
         from .roi_align_pallas import multilevel_roi_align_pallas
 
-        # keep the double-buffered tile scratch under the ~16MB VMEM budget
-        kroi = 8 if tile_h <= 24 else 4
+        # keep the double-buffered tile scratch + the block-diagonal
+        # matmul's f32 accumulator under the ~16MB VMEM budget
+        # (f32 tiles are twice bf16's bytes: halve the block)
+        kroi = 6 if tile_h <= 24 else 4
+        if features[0].dtype.itemsize >= 4:
+            kroi //= 2
         return multilevel_roi_align_pallas(
             features, rois, strides, out_size, finest_scale,
             max_ratio=max_ratio, tile_hw=(tile_h, 64), kroi=kroi,

@@ -29,6 +29,9 @@ from monorun_tpu.ops.roi_align import (
     multilevel_roi_align_auto,
     roi_grid_centers,
 )
+from monorun_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 N_SHORT, N_LONG = 4, 16

@@ -11,6 +11,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from monorun_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def parse_args():
     p = argparse.ArgumentParser(description="Evaluate MonoRUn-TPU")
