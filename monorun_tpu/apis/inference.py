@@ -40,7 +40,11 @@ def _precast_kernels(cfg: MonoRUnConfig, variables):
             return x.astype(jnp.bfloat16)
         return x
 
-    variables["params"] = jax.tree.map(cast, variables["params"])
+    # one jitted program for the whole tree: per-leaf eager casts are a
+    # device round trip each (minutes over the remote tunnel)
+    variables["params"] = jax.jit(
+        lambda p: jax.tree.map(cast, p)
+    )(variables["params"])
     return variables
 
 

@@ -36,18 +36,34 @@ def carafe(features: Array, kernels: Array, k_up: int, scale: int) -> Array:
     """Reassembly: features (N, H, W, C), kernels (N, H, W, s*s, k*k).
 
     Returns (N, s*H, s*W, C).
+
+    Patch extraction is 25 shifted slices stacked on a new taps axis —
+    ``conv_general_dilated_patches`` lowers to a REAL convolution with a
+    (k2*C, C) one-hot filter, i.e. k2x a normal conv's MXU work (~2.6
+    TFLOP-equivalent at inference shapes) just to move data; the slice
+    stack is pure copies. Taps are (ky-major, kx) matching F.unfold's
+    [c, ky, kx] enumeration (mmcv carafe semantics).
     """
     n, h, w, c = features.shape
     s = scale
     k2 = k_up * k_up
-    patches = jax.lax.conv_general_dilated_patches(
-        features, (k_up, k_up), (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ).reshape(n, h, w, c, k2)        # channel-major taps: [c, ky, kx]
+    p = k_up // 2
+    fpad = jnp.pad(features, ((0, 0), (p, p), (p, p), (0, 0)))
+    patches = jnp.stack(
+        [
+            fpad[:, dy:dy + h, dx:dx + w, :]
+            for dy in range(k_up)
+            for dx in range(k_up)
+        ],
+        axis=3,
+    )                                # (N, H, W, k2, C), lanes stay on C
     # kernel pre-split (N,H,sy,W,sx,k2) so the einsum output is emitted in
-    # depth-to-space order and the final reshape merges adjacent axes
+    # depth-to-space order and the final reshape merges adjacent axes;
+    # kernels follow the feature dtype (bf16 serving path stays bf16)
     kern = kernels.reshape(n, h, w, s, s, k2).transpose(0, 1, 3, 2, 4, 5)
-    out = jnp.einsum("nhawbk,nhwck->nhawbc", kern, patches)
+    out = jnp.einsum(
+        "nhawbk,nhwkc->nhawbc", kern.astype(features.dtype), patches
+    )
     return out.reshape(n, h * s, w * s, c)
 
 
