@@ -369,9 +369,21 @@ def pnp_uncert(
     valid = (
         cov_valid
         & jnp.isfinite(cost)
+        & jnp.all(jnp.isfinite(yaw), axis=1)
         & jnp.all(jnp.isfinite(t), axis=1)
         & (jnp.sum(inlier, axis=1) >= cfg.ransac_min_points)
     )
+    # sanitize failed slots at the source: a NaN yaw/t/cov primal poisons
+    # the GRADIENTS of any masked downstream loss (zero cotangent times a
+    # NaN partial is still NaN — e.g. loss_calib's d/d inv_cov term is
+    # weight * diff diff^T), even though the loss VALUE is masked to 0.
+    # The reference never hits this: its dynamic shapes drop failed RoIs
+    # (pnp_uncert.py:77-85 invalidates, callers index by validity).
+    yaw = jnp.where(valid[:, None], yaw, 0.0)
+    t = jnp.where(
+        valid[:, None], t, jnp.asarray([0.0, 0.0, 10.0], t.dtype)
+    )
+    cov = jnp.where(valid[:, None, None], cov, jnp.eye(4, dtype=cov.dtype))
     sg = jax.lax.stop_gradient
     return PnPResult(
         valid=sg(valid), yaw=sg(yaw), t_vec=sg(t),
