@@ -56,7 +56,6 @@ class RPNConfig:
     nms_thr: float = 0.75
     min_bbox_size: float = 0.0
     train_nms_pre: int = 2000
-    pre_nms_limit: int = 4096       # global cap before the O(k^2) NMS
     target_means: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
     target_stds: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
 

@@ -62,7 +62,7 @@ def get_proposals(
         cfg.anchors.ratios,
     )
 
-    all_boxes, all_scores, all_lvl = [], [], []
+    all_boxes, all_scores = [], []
     for lvl, (score, pred, anc) in enumerate(
         zip(cls_scores, bbox_preds, anchors)
     ):
@@ -81,42 +81,43 @@ def get_proposals(
         )
         all_boxes.append(boxes)
         all_scores.append(top_s)
-        all_lvl.append(jnp.full((B, k), lvl, jnp.int32))
 
-    boxes = jnp.concatenate(all_boxes, axis=1)        # (B, K, 4)
-    scores = jnp.concatenate(all_scores, axis=1)
-    lvls = jnp.concatenate(all_lvl, axis=1)
+    # per-level NMS on the level's own top-k set: levels never suppress
+    # each other (mmdet nms_across_levels=False), so one offset-trick NMS
+    # over the concatenated ~4.4k candidates wastes a (4096, 4096)
+    # suppression matrix where five (1000, 1000) ones do the same work
+    # (~3.4x fewer pairs) — and needs no pre-NMS candidate cap at all
+    all_props, all_pscores = [], []
+    for boxes, scores in zip(all_boxes, all_scores):
+        # degenerate-box filter
+        w = boxes[..., 2] - boxes[..., 0]
+        h = boxes[..., 3] - boxes[..., 1]
+        ok = (w > cfg.min_bbox_size) & (h > cfg.min_bbox_size)
+        if valid_shapes is not None:
+            # drop boxes fully inside the zero padding region
+            ok = ok & (boxes[..., 0] < valid_shapes[:, None, 1]) & (
+                boxes[..., 1] < valid_shapes[:, None, 0]
+            )
+        scores = jnp.where(ok, scores, NEG_INF)
+        max_out = min(nms_post, boxes.shape[1])
 
-    # degenerate-box filter
-    w = boxes[..., 2] - boxes[..., 0]
-    h = boxes[..., 3] - boxes[..., 1]
-    ok = (w > cfg.min_bbox_size) & (h > cfg.min_bbox_size)
-    if valid_shapes is not None:
-        # drop boxes fully inside the zero padding region
-        ok = ok & (boxes[..., 0] < valid_shapes[:, None, 1]) & (
-            boxes[..., 1] < valid_shapes[:, None, 0]
-        )
-    scores = jnp.where(ok, scores, NEG_INF)
+        def _single(bx, sc):
+            keep_idx, keep_valid = nms(
+                bx, sc, cfg.nms_thr, max_out, exact=False,
+                fixpoint_iters=16,
+            )
+            return bx[keep_idx], jnp.where(keep_valid, sc[keep_idx], NEG_INF)
 
-    # cap candidates before the O(k^2) NMS
-    K = boxes.shape[1]
-    cap = min(cfg.pre_nms_limit, K)
-    top_s, top_i = fast_topk(scores, cap)
-    boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
-    lvls = jnp.take_along_axis(lvls, top_i, axis=1)
-    scores = top_s
+        pb, ps = jax.vmap(_single)(boxes, scores)
+        all_props.append(pb)
+        all_pscores.append(ps)
 
-    # per-level NMS via the offset trick, batched over images
-    extent = float(max(img_shape)) * 2.0
-
-    def _single(bx, sc, lv):
-        off = bx + (lv.astype(bx.dtype) * extent)[:, None]
-        keep_idx, keep_valid = nms(
-            off, sc, cfg.nms_thr, nms_post, exact=False, fixpoint_iters=16
-        )
-        return bx[keep_idx], keep_valid
-
-    props, valid = jax.vmap(_single)(boxes, scores, lvls)
+    boxes = jnp.concatenate(all_props, axis=1)        # (B, sum(k_l), 4)
+    scores = jnp.concatenate(all_pscores, axis=1)
+    # global top nms_post across levels by score (order-free exact set)
+    top_s, top_i = fast_topk(scores, min(nms_post, scores.shape[1]))
+    props = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
+    valid = top_s > NEG_INF / 2
     return props, valid
 
 

@@ -33,7 +33,6 @@ def probe_config():
         backbone=dataclasses.replace(cfg.backbone, depth=26),
         rpn=dataclasses.replace(
             cfg.rpn, nms_pre=32, nms_post=32, train_nms_pre=32,
-            pre_nms_limit=128,
         ),
         train=dataclasses.replace(
             cfg.train, rcnn_num_samples=32, max_pos=8, rpn_num_samples=32,

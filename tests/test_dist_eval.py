@@ -69,7 +69,7 @@ def tiny_config():
         compute_dtype="float32",
         backbone=dataclasses.replace(cfg.backbone, depth=26),
         rpn=dataclasses.replace(
-            cfg.rpn, nms_pre=64, nms_post=64, pre_nms_limit=256
+            cfg.rpn, nms_pre=64, nms_post=64
         ),
         test=dataclasses.replace(
             cfg.test, rpn_nms_pre=64, rpn_nms_post=64, max_per_img=8
