@@ -27,6 +27,65 @@ class NOCHeadOutput(NamedTuple):
     proj_logstd: Array    # (n, 28, 28, 2)
 
 
+class _SlicedConvFinal(nn.Module):
+    """Final 1x1 conv with the class/flip-bank selection folded into the
+    WEIGHTS.
+
+    Computing all ``2 banks x classes x (3+2)`` output channels and then
+    selecting per RoI (fcn_noc_decoder.py:150-152, :225-235, :242-267)
+    wastes ~6x the matmul work and forces a lane-starved (n, 28, 28, 30)
+    intermediate (profiled at 1.96 ms/step of the batch-4 pipeline).
+    Selecting the (C_in, 3)/(C_in, 2) weight slices per RoI first — a 0/1
+    mask contraction, so the selection is exact — is mathematically
+    identical. The param tree matches nn.Conv ("conv_final/{kernel,bias}")
+    so reference checkpoints convert unchanged.
+    """
+
+    cfg: NOCHeadConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: Array, labels: Array, flip: Array
+    ) -> Tuple[Array, Array]:
+        c = self.cfg
+        ncls = 1 if c.class_agnostic else c.num_classes
+        nb = 2 if c.flip_correction else 1
+        nc_ch, std_ch = c.noc_channels, c.uncert_channels
+        per_bank = (nc_ch + std_ch) * ncls
+        out_ch = per_bank * nb
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, cin, out_ch), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (out_ch,), jnp.float32
+        )
+        # channel order: [bank][noc class-major 3*ncls][logstd 2*ncls]
+        k = kernel.reshape(cin, nb, per_bank).astype(x.dtype)
+        b = bias.reshape(nb, per_bank).astype(x.dtype)
+        kn = k[:, :, : nc_ch * ncls].reshape(cin, nb, ncls, nc_ch)
+        ks = k[:, :, nc_ch * ncls:].reshape(cin, nb, ncls, std_ch)
+        bn = b[:, : nc_ch * ncls].reshape(nb, ncls, nc_ch)
+        bs = b[:, nc_ch * ncls:].reshape(nb, ncls, std_ch)
+        # per-RoI (bank, class) 0/1 mask; select-reduce, no gathers
+        bank = jnp.where(flip, nb - 1, 0)
+        bsel = jnp.arange(nb) == bank[:, None]             # (n, nb)
+        if c.class_agnostic:
+            csel = jnp.ones((labels.shape[0], 1), bool)
+        else:
+            csel = labels[:, None] == jnp.arange(ncls)     # (n, ncls)
+        m = (bsel[:, :, None] & csel[:, None, :]).astype(x.dtype)
+        wn = jnp.einsum("nbc,ibcf->nif", m, kn)            # (n, cin, 3)
+        ws = jnp.einsum("nbc,ibcf->nif", m, ks)            # (n, cin, 2)
+        bnn = jnp.einsum("nbc,bcf->nf", m, bn)
+        bss = jnp.einsum("nbc,bcf->nf", m, bs)
+        noc = jnp.einsum("nhwi,nif->nhwf", x, wn) + bnn[:, None, None, :]
+        logstd = jnp.einsum("nhwi,nif->nhwf", x, ws) + bss[:, None, None, :]
+        return noc, logstd
+
+
 class NOCHead(nn.Module):
     cfg: NOCHeadConfig
     dtype: Any = jnp.float32
@@ -84,24 +143,11 @@ class NOCHead(nn.Module):
                         dtype=self.dtype, name=f"conv_up{i}")(x)
             )
 
-        ncls = 1 if c.class_agnostic else c.num_classes
-        per_bank = (c.noc_channels + c.uncert_channels) * ncls
-        out_ch = per_bank * (2 if c.flip_correction else 1)
-        pred = nn.Conv(out_ch, (1, 1), dtype=self.dtype,
-                       name="conv_final")(x)
-        pred = pred.astype(jnp.float32)
-
-        if c.flip_correction:
-            # channel-major split: [flip0-bank, flip1-bank]; a where-select
-            # (not take_along_axis: tiny-axis gathers lower to slow TPU
-            # gather kernels on lane-starved layouts)
-            pred = pred.reshape(pred.shape[:-1] + (2, per_bank))
-            pred = jnp.where(
-                flip[:, None, None, None], pred[..., 1, :], pred[..., 0, :]
-            )
-
-        noc, logstd = self.slice_pred(pred, labels)
-        return NOCHeadOutput(noc, logstd)
+        noc, logstd = _SlicedConvFinal(
+            cfg=c, dtype=self.dtype, name="conv_final"
+        )(x, labels, flip)
+        return NOCHeadOutput(noc.astype(jnp.float32),
+                             logstd.astype(jnp.float32))
 
     def slice_pred(
         self, pred: Array, labels: Array
