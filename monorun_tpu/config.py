@@ -138,7 +138,7 @@ class PoseHeadConfig:
     epnp_ransac_thres_ratio: float = 0.2
     std_scale: float = 10.0
     ransac_hypotheses: int = 32
-    lm_iters: int = 12
+    lm_iters: int = 8
     # starts at 0 and is switched on by the default loss_schedule entry
     # (reference LossUpdaterHook, configs/kitti_multiclass.py:315-325)
     loss_calib_weight: float = 0.0

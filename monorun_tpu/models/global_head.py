@@ -30,6 +30,23 @@ from ..config import GlobalHeadConfig
 Array = jnp.ndarray
 
 
+def _dropout_mask(key, keep: float, shape, dtype):
+    """Bernoulli(keep) mask; p = 0.5 comes from raw random BITS.
+
+    bernoulli() burns one threefry word per element — ~0.9 ms/step for the
+    two (n, 50, 1024) MC masks. For the exact rate 0.5 every bit of a
+    uint32 word is an unbiased coin, so 32 elements share one word.
+    """
+    if keep != 0.5 or shape[-1] % 32 != 0:
+        return jax.random.bernoulli(key, keep, shape).astype(dtype)
+    words = jax.random.bits(
+        key, shape[:-1] + (shape[-1] // 32,), jnp.uint32
+    )
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[..., None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(shape).astype(dtype)
+
+
 class GlobalHeadOutput(NamedTuple):
     dim_latent_pred: Array          # (n, (3+L)*K) or (n, 3+L)
     dim_latent_var: Optional[Array]
@@ -94,21 +111,23 @@ class GlobalHead(nn.Module):
             )
 
         # ---- inference: factored Monte-Carlo sampling --------------------
+        # sample axis S kept BEHIND the RoI axis: "snc,ncf" puts the dot's
+        # batch dim (n) in the middle of the lhs, which XLA lowers with a
+        # relayout per operand (profiled 0.93 ms for a 10 GFLOP batched
+        # matmul); (n, S, C) @ (n, C, F) is the natural batched form
         S = c.mc_samples
         P = jnp.einsum("nca,caf->ncf", xt, k0)            # (n, C, F)
-        m2d = jax.random.bernoulli(r2d, keep2d, (S, n, ch)).astype(self.dtype)
-        pre0 = jnp.einsum("snc,ncf->snf", m2d, P) / keep2d + b0
-        h = nn.relu(pre0)                                 # (S, n, F)
-        m0 = jax.random.bernoulli(r0, keep, h.shape).astype(self.dtype)
-        h = h * m0 / keep
+        m2d = jax.random.bernoulli(r2d, keep2d, (n, S, ch)).astype(self.dtype)
+        pre0 = jnp.einsum("nsc,ncf->nsf", m2d, P) / keep2d + b0
+        h = nn.relu(pre0)                                 # (n, S, F)
+        h = h * _dropout_mask(r0, keep, h.shape, self.dtype) / keep
         h = nn.relu(fc1(h))
-        m1 = jax.random.bernoulli(r1, keep, h.shape).astype(self.dtype)
-        h = h * m1 / keep
-        out = fc_reg(h).astype(jnp.float32)               # (S, n, D)
+        h = h * _dropout_mask(r1, keep, h.shape, self.dtype) / keep
+        out = fc_reg(h).astype(jnp.float32)               # (n, S, D)
 
-        mean = jnp.mean(out, axis=0)
-        var = jnp.var(out, axis=0, ddof=1)                # matches torch.var
-        reg_fc_out = jnp.mean(h, axis=0).astype(jnp.float32)
+        mean = jnp.mean(out, axis=1)
+        var = jnp.var(out, axis=1, ddof=1)                # matches torch.var
+        reg_fc_out = jnp.mean(h, axis=1).astype(jnp.float32)
         return GlobalHeadOutput(mean, var, reg_fc_out)
 
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..config import RPNConfig
 from ..ops.box_coder import delta_decode, multilevel_anchors
-from ..ops.nms import NEG_INF, fast_topk, nms
+from ..ops.nms import NEG_INF, nms
 
 Array = jnp.ndarray
 
@@ -69,10 +69,7 @@ def get_proposals(
         s = score.reshape(B, -1)                      # (B, HWA) logits
         p = pred.reshape(B, -1, 4)
         k = min(nms_pre, s.shape[1])
-        # exact two-pass top-k: lax.top_k's index payload is a 34 ms
-        # variadic sort at stride-4 scale; rank order is irrelevant here
-        # (the global cap + NMS below re-rank everything)
-        top_s, top_i = fast_topk(s, k)
+        top_s, top_i = jax.lax.top_k(s, k)
         top_anc = anc[top_i]                          # (B, k, 4)
         top_p = jnp.take_along_axis(p, top_i[..., None], axis=1)
         boxes = delta_decode(
@@ -114,8 +111,8 @@ def get_proposals(
 
     boxes = jnp.concatenate(all_props, axis=1)        # (B, sum(k_l), 4)
     scores = jnp.concatenate(all_pscores, axis=1)
-    # global top nms_post across levels by score (order-free exact set)
-    top_s, top_i = fast_topk(scores, min(nms_post, scores.shape[1]))
+    # global top nms_post across levels by score
+    top_s, top_i = jax.lax.top_k(scores, min(nms_post, scores.shape[1]))
     props = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
     valid = top_s > NEG_INF / 2
     return props, valid

@@ -111,6 +111,22 @@ def spd_solve(a: Array, b: Array) -> Array:
     return jnp.stack(x, axis=-1)
 
 
+def spd_solve_packed(a: Array, b: Array) -> Array:
+    """SPD solve in entry-major layout: a (n, n, ...), b (n, ...) -> (..., n).
+
+    For large batches, (batch, n, n) tensors tile as (8, 128) over the
+    trailing (n, n) axes — up to 41x physical memory for n=5, re-read by
+    every entry slice. Producing the normal matrix entry-major (e.g.
+    ``jnp.einsum("bni,bnj->ijb", ...)``) keeps the batch on the lane axis
+    and makes every recurrence operand a contiguous (batch,) vector.
+    """
+    n = a.shape[0]
+    rows = [[a[i, j] for j in range(n)] for i in range(n)]
+    l = _chol_scalars(rows)
+    x = _solve_scalars(l, [b[i] for i in range(n)])
+    return jnp.stack(x, axis=-1)
+
+
 def spd_inverse(a: Array) -> Array:
     """Batched SPD inverse via Cholesky; (..., n, n)."""
     n = a.shape[-1]

@@ -30,36 +30,6 @@ Array = jnp.ndarray
 NEG_INF = -1e10
 
 
-def fast_topk(scores: Array, k: int) -> Tuple[Array, Array]:
-    """Exact top-k (values, indices) along the last axis, TPU-fast.
-
-    ``lax.top_k`` with an index payload lowers to a variadic sort — 34 ms
-    for (4, 90k) -> 1000 on v5e, vs 1.3 ms for the values-only form. This
-    runs values-only top-k to get the k-th value as a threshold, then
-    compacts the surviving indices with a values-only int sort (~2.5 ms
-    total). Ties at the threshold keep the lowest indices (torch.topk's
-    tie-breaking is unspecified too). Returned pairs are (score[idx]),
-    ordered by index, NOT by descending score — callers that need rank
-    order must sort the k results themselves.
-    """
-    n = scores.shape[-1]
-    if k >= n:
-        idx = jnp.broadcast_to(jnp.arange(n), scores.shape)
-        return scores, idx
-    thr = jax.lax.top_k(scores, k)[0][..., -1:]
-    iota = jnp.arange(n)
-    # strict survivors always make the set; threshold ties fill the rest
-    # lowest-index-first (so a strictly-greater element at a high index
-    # can never lose its slot to a tie)
-    key = jnp.where(scores > thr, iota,
-                    jnp.where(scores == thr, iota + n, 2 * n))
-    srt = jnp.sort(key, axis=-1)[..., :k]
-    over = srt >= 2 * n      # can't happen (>=k survivors), kept as guard
-    idx = jnp.where(over, 0, srt % n)
-    vals = jnp.take_along_axis(scores, idx, axis=-1)
-    return jnp.where(over, NEG_INF, vals), idx
-
-
 def bbox_iou_matrix(boxes_a: Array, boxes_b: Array) -> Array:
     """Axis-aligned IoU matrix for (n, 4) x (k, 4) xyxy boxes."""
     area_a = jnp.clip(boxes_a[:, 2] - boxes_a[:, 0], 0, None) * jnp.clip(
@@ -204,10 +174,9 @@ def multiclass_nms(
     flat_scores = scores.reshape(n * num_classes)
     flat_labels = jnp.tile(jnp.arange(num_classes), (n,))
 
-    # cap the candidate set before the O(k^2) IoU matrix (fast_topk:
-    # order-free exact selection; nms() re-sorts by score)
+    # cap the candidate set before the O(k^2) IoU matrix
     k = min(pre_topk, n * num_classes)
-    top_scores, top_idx = fast_topk(flat_scores, k)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
     top_boxes = flat_boxes[top_idx]
     top_labels = flat_labels[top_idx]
 

@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 
 from .geometry import approx_hessian, jacobian_and_error
-from .linalg_small import spd_inverse, spd_solve, spd_valid
+from .linalg_small import (
+    spd_inverse, spd_solve, spd_solve_packed, spd_valid)
 
 Array = jnp.ndarray
 
@@ -50,7 +51,7 @@ class PnPConfig:
     inlier_opt_only: bool = True
     ransac_hypotheses: int = 32      # reference: 30 cv2 iterations
     ransac_min_points: int = 4
-    lm_iters: int = 12
+    lm_iters: int = 8
     lm_lambda_init: float = 1e-4
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 0.25
@@ -110,13 +111,16 @@ def dlt_yaw_pnp(
     A, bb = _dlt_rows(coords_2d, coords_3d, cam_mats)
     w2 = jnp.concatenate([weights, weights], axis=1)  # (b, 2n)
     Aw = A * w2[..., None]
-    ata = jnp.einsum("bni,bnj->bij", Aw, A)
+    # entry-major (i, j, b) normal matrix: batch on lanes (a (b, 5, 5)
+    # layout tile-pads every (5, 5) block to (8, 128) — 41x the bytes,
+    # re-read by each Cholesky entry slice; profiled ~1.6 ms/step)
+    ata = jnp.einsum("bni,bnj->ijb", Aw, A)
     # relative Tikhonov: degenerate RoIs (e.g. zero-size padded boxes whose
     # points coincide) must stay finite, not poison downstream outputs
-    tr = jnp.trace(ata, axis1=-2, axis2=-1)[:, None, None]
-    ata = ata + (1e-6 * tr / 5.0 + eps) * jnp.eye(5)
-    atb = jnp.einsum("bni,bn->bi", Aw, bb)
-    sol = spd_solve(ata, -atb)  # (b, 5) — unrolled Cholesky, TPU-fast
+    tr = sum(ata[i, i] for i in range(5))
+    ata = ata + (1e-6 * tr / 5.0 + eps) * jnp.eye(5)[:, :, None]
+    atb = jnp.einsum("bni,bn->ib", Aw, bb)
+    sol = spd_solve_packed(ata, -atb)  # (b, 5) — unrolled Cholesky
     c, s = sol[:, 0], sol[:, 1]
     norm = jnp.sqrt(jnp.clip(c * c + s * s, eps, None))
     yaw = jnp.arctan2(s / norm, c / norm)[:, None]
@@ -127,11 +131,11 @@ def dlt_yaw_pnp(
     cs = jnp.stack([jnp.cos(yaw[:, 0]), jnp.sin(yaw[:, 0])], -1)  # (b, 2)
     rhs = -(jnp.einsum("bnk,bk->bn", A_cs, cs) + bb)
     At_w = A_t * w2[..., None]
-    ata_t = jnp.einsum("bni,bnj->bij", At_w, A_t)
-    tr_t = jnp.trace(ata_t, axis1=-2, axis2=-1)[:, None, None]
-    ata_t = ata_t + (1e-6 * tr_t / 3.0 + eps) * jnp.eye(3)
-    atb_t = jnp.einsum("bni,bn->bi", At_w, rhs)
-    t = spd_solve(ata_t, atb_t)
+    ata_t = jnp.einsum("bni,bnj->ijb", At_w, A_t)
+    tr_t = sum(ata_t[i, i] for i in range(3))
+    ata_t = ata_t + (1e-6 * tr_t / 3.0 + eps) * jnp.eye(3)[:, :, None]
+    atb_t = jnp.einsum("bni,bn->ib", At_w, rhs)
+    t = spd_solve_packed(ata_t, atb_t)
     return yaw, t
 
 

@@ -130,34 +130,3 @@ def test_iou_matrix_basic():
     np.testing.assert_allclose(
         np.asarray(bbox_iou_matrix(a, b)), [[50.0 / 150.0]], rtol=1e-6
     )
-
-
-def test_fast_topk_exact_set():
-    from monorun_tpu.ops.nms import fast_topk
-
-    rng = np.random.default_rng(0)
-    s = jnp.asarray(rng.normal(size=(3, 500)).astype(np.float32))
-    for k in (1, 7, 100, 499, 500, 600):
-        vals, idx = jax.jit(lambda x: fast_topk(x, k))(s)
-        ref_vals = jax.lax.top_k(s, min(k, 500))[0]
-        # same multiset of scores as the exact top-k
-        np.testing.assert_allclose(
-            np.sort(np.asarray(vals), -1)[:, ::-1][:, : min(k, 500)],
-            np.asarray(ref_vals), rtol=0, atol=0,
-        )
-        # indices actually address those scores
-        np.testing.assert_allclose(
-            np.asarray(jnp.take_along_axis(s, idx, -1))[:, : min(k, 500)],
-            np.asarray(vals)[:, : min(k, 500)], rtol=0, atol=0,
-        )
-
-
-def test_fast_topk_ties():
-    from monorun_tpu.ops.nms import fast_topk
-
-    # 6 copies of the threshold value; strict survivors at high indexes
-    s = jnp.asarray([[1.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 9.0, 8.0, 0.5]])
-    vals, idx = fast_topk(s, 4)
-    got = set(np.asarray(idx)[0].tolist())
-    assert 7 in got and 8 in got         # strict survivors always in
-    assert np.sort(np.asarray(vals)[0])[::-1].tolist() == [9.0, 8.0, 2.0, 2.0]
