@@ -169,6 +169,50 @@ def jacobian_and_error(
     return jac, error.reshape(b, 2 * n)
 
 
+def gn_normal_equations(
+    coords_2d: Array,
+    coords_2d_istd: Array,
+    coords_3d: Array,
+    cam_mats: Array,
+    u_range: Array,
+    v_range: Array,
+    z_min: float,
+    yaw: Array,
+    t_vec: Array,
+    inlier_mask: Optional[Array],
+) -> Tuple[Array, Array, Array]:
+    """Fused Gauss-Newton terms: (g (4, b), h (4, 4, b), cost (b,)).
+
+    Same math as ``jacobian_and_error`` followed by J^T e, J^T J and
+    ||e||^2, but contracted column-by-column so the (b, 2n, 4) Jacobian
+    is never materialized (the LM loop re-evaluates this every
+    iteration), and emitted entry-major — the batch stays on the lane
+    axis for ``spd_solve_packed`` instead of tile-padding (4, 4) blocks.
+    """
+    proj = forward_proj(
+        coords_2d, coords_3d, cam_mats, z_min, u_range, v_range, yaw, t_vec
+    )
+    jac_yaw, jac_t, _ = pose_jacobians(
+        proj, cam_mats, coords_2d_istd, coords_3d, inlier_mask
+    )
+    err = proj.error_unweighted * coords_2d_istd         # (b, n, 2)
+    if inlier_mask is not None:
+        err = jnp.where(inlier_mask[..., None], err, 0.0)
+    cols = (jac_yaw[..., 0], jac_t[..., 0], jac_t[..., 1], jac_t[..., 2])
+
+    def red(a, bb):
+        return jnp.sum(a * bb, axis=(1, 2))
+
+    g = jnp.stack([red(c, err) for c in cols])           # (4, b)
+    rows = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(i, 4):
+            rows[i][j] = rows[j][i] = red(cols[i], cols[j])
+    h = jnp.stack([jnp.stack(r) for r in rows])          # (4, 4, b)
+    cost = red(err, err)
+    return g, h, cost
+
+
 def approx_hessian(
     coords_2d: Array,
     coords_2d_istd: Array,

@@ -58,23 +58,37 @@ def bbox_iof_matrix(boxes_a: Array, boxes_b: Array) -> Array:
 
 
 def _suppress_greedy(iou: Array, order_valid: Array, iou_thr: float) -> Array:
-    """Exact greedy keep mask given a score-descending IoU matrix."""
+    """Exact greedy keep mask given a score-descending IoU matrix.
+
+    Runs the fixpoint recurrence keep[i] = valid[i] ∧ ¬∃ j<i : keep[j] ∧
+    iou(j,i) > thr to *convergence*: any fixpoint equals the greedy set
+    (induction over score order — keep[0] is forced, and keep[i] is a
+    function of keep[<i] only), and the iterate is exact for every chain
+    depth < t after t steps, so it stabilizes in (chain depth + 1) ≤ n
+    rounds. Two equal consecutive iterates ⇒ fixpoint ⇒ greedy. Each
+    round is one (n, n) masked any-reduce instead of the n-step scalar
+    loop (512 sequential steps ≈ 3 ms/image at detection scale; chains
+    at IoU 0.5 converge in < 10 rounds).
+    """
     n = iou.shape[0]
-    sup = iou > iou_thr
+    tri = jnp.tril(jnp.ones((n, n), bool), k=-1)  # j < i strictly
+    sup = (iou > iou_thr) & tri.T                 # sup[j, i]: j earlier
 
-    def body(i, state):
-        alive, kept = state
-        is_kept = alive[i] & order_valid[i]
-        kept = kept.at[i].set(is_kept)
-        # kill everything this box suppresses (only matters for j > i,
-        # handled by the loop order)
-        alive = alive & ~(is_kept & sup[i])
-        alive = alive.at[i].set(is_kept)
-        return alive, kept
+    def step(keep):
+        killed = jnp.any(sup & keep[:, None], axis=0)
+        return order_valid & ~killed
 
-    alive0 = jnp.ones((n,), bool)
-    kept0 = jnp.zeros((n,), bool)
-    _, kept = jax.lax.fori_loop(0, n, body, (alive0, kept0))
+    def cond(state):
+        t, prev, keep = state
+        return (t <= n) & jnp.any(prev != keep)
+
+    def body(state):
+        t, _, keep = state
+        return t + 1, keep, step(keep)
+
+    _, _, kept = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), ~order_valid, order_valid)
+    )
     return kept
 
 

@@ -37,9 +37,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .geometry import approx_hessian, jacobian_and_error
-from .linalg_small import (
-    spd_inverse, spd_solve, spd_solve_packed, spd_valid)
+from .geometry import approx_hessian, gn_normal_equations
+from .linalg_small import spd_inverse, spd_solve_packed, spd_valid
 
 Array = jnp.ndarray
 
@@ -255,34 +254,34 @@ def lm_refine(
     b = coords_2d.shape[0]
 
     def eval_ghc(pose):
-        """(gradient (b,4), J^T J (b,4,4), cost (b,)) at pose."""
-        yaw = pose[:, :1]
-        t = pose[:, 1:]
-        jac, err = jacobian_and_error(
+        """Fused (gradient (4,b), J^T J (4,4,b), cost (b,)) at pose.
+
+        Entry-major throughout: the Jacobian is contracted on the fly
+        (gn_normal_equations) and the damped solve runs the unrolled
+        Cholesky on (b,)-vectors riding the lane axis.
+        """
+        return gn_normal_equations(
             coords_2d, istd, coords_3d, cam_mats, u_range, v_range,
-            cfg.z_min, yaw, t, inlier_mask,
+            cfg.z_min, pose[:, :1], pose[:, 1:], inlier_mask,
         )
-        g = jnp.einsum("bni,bn->bi", jac, err)
-        h = jnp.einsum("bni,bnj->bij", jac, jac)
-        cost = jnp.sum(err * err, axis=-1)
-        return g, h, cost
 
     pose0 = jnp.concatenate([yaw0, t0], axis=1)       # (b, 4)
     lam0 = jnp.full((b,), cfg.lm_lambda_init)
     g0, h0, c0 = eval_ghc(pose0)
+    eye = jnp.eye(4)[:, :, None]
 
     def body(_, state):
         pose, g, h, lam, cost = state
-        d = jnp.diagonal(h, axis1=1, axis2=2)
+        d = h[jnp.arange(4), jnp.arange(4)]           # (4, b)
         # Marquardt scaling: damp by lam * diag(J^T J)
-        damped = h + jax.vmap(jnp.diag)(lam[:, None] * jnp.clip(d, 1e-8, None))
-        delta = spd_solve(damped, -g)
+        damped = h + eye * (lam[None] * jnp.clip(d, 1e-8, None))
+        delta = spd_solve_packed(damped, -g)          # (b, 4)
         pose_new = pose + delta
         g_new, h_new, cost_new = eval_ghc(pose_new)
         accept = (cost_new < cost) & jnp.isfinite(cost_new)
         pose = jnp.where(accept[:, None], pose_new, pose)
-        g = jnp.where(accept[:, None], g_new, g)
-        h = jnp.where(accept[:, None, None], h_new, h)
+        g = jnp.where(accept[None], g_new, g)
+        h = jnp.where(accept[None, None], h_new, h)
         cost = jnp.where(accept, cost_new, cost)
         lam = jnp.where(accept, lam * cfg.lm_lambda_down, lam * cfg.lm_lambda_up)
         lam = jnp.clip(lam, 1e-10, 1e8)
@@ -293,7 +292,7 @@ def lm_refine(
     )
     # h is J^T J at the last accepted pose == the returned pose, under the
     # same mask — callers reuse it as the covariance Hessian for free
-    return pose[:, :1], pose[:, 1:], cost, h
+    return pose[:, :1], pose[:, 1:], cost, jnp.moveaxis(h, -1, 0)
 
 
 def pose_covariance(
