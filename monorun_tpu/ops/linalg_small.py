@@ -127,34 +127,54 @@ def spd_solve_packed(a: Array, b: Array) -> Array:
     return jnp.stack(x, axis=-1)
 
 
-def spd_inverse(a: Array) -> Array:
-    """Batched SPD inverse via Cholesky; (..., n, n)."""
-    n = a.shape[-1]
-    l = _chol_scalars(_unpack(a))
+def _inverse_scalars(rows: List[List[Array]]) -> List[List[Array]]:
+    """Unpacked inverse entries inv[i][j] given unpacked A entries."""
+    n = len(rows)
+    l = _chol_scalars(rows)
     cols = [
         _solve_scalars(l, [1.0 if i == j else 0.0 for i in range(n)])
         for j in range(n)
     ]
-    # cols[j][i] may be a weak scalar on tiny n if everything folded;
+    return [[cols[j][i] for j in range(n)] for i in range(n)]
+
+
+def spd_inverse(a: Array) -> Array:
+    """Batched SPD inverse via Cholesky; (..., n, n)."""
+    n = a.shape[-1]
+    inv = _inverse_scalars(_unpack(a))
+    # entries may be weak scalars on tiny n if everything folded;
     # broadcast through stack against the batch shape
     zero = jnp.zeros_like(a[..., 0, 0])
     return jnp.stack(
         [
-            jnp.stack([cols[j][i] + zero for j in range(n)], axis=-1)
+            jnp.stack([inv[i][j] + zero for j in range(n)], axis=-1)
             for i in range(n)
         ],
         axis=-2,
     )
 
 
-def spd_valid(a: Array, rel: float = 1e-9) -> Array:
-    """True where A is comfortably positive definite.
+def spd_inverse_packed(a: Array) -> Array:
+    """Entry-major SPD inverse: a (n, n, batch) -> (batch, n, n).
 
-    Checks every Cholesky pivot against a floor relative to the trace —
-    the same degeneracy the reference catches with its eigenvalue test.
+    Same lane-axis rationale as ``spd_solve_packed``; the batch-major
+    output shape is what downstream consumers (covariance users) want,
+    paid as one final stack.
     """
-    n = a.shape[-1]
-    rows = _unpack(a)
+    n = a.shape[0]
+    inv = _inverse_scalars([[a[i, j] for j in range(n)] for i in range(n)])
+    zero = jnp.zeros_like(a[0, 0])
+    return jnp.stack(
+        [
+            jnp.stack([inv[i][j] + zero for j in range(n)], axis=-1)
+            for i in range(n)
+        ],
+        axis=-2,
+    )
+
+
+def _valid_scalars(rows: List[List[Array]], rel: float) -> Array:
+    n = len(rows)
     l = _chol_scalars(rows)
     tr = rows[0][0]
     for i in range(1, n):
@@ -169,6 +189,23 @@ def spd_valid(a: Array, rel: float = 1e-9) -> Array:
             if i or j:
                 fin = fin & jnp.isfinite(rows[i][j])
     return ok & fin
+
+
+def spd_valid(a: Array, rel: float = 1e-9) -> Array:
+    """True where A is comfortably positive definite.
+
+    Checks every Cholesky pivot against a floor relative to the trace —
+    the same degeneracy the reference catches with its eigenvalue test.
+    """
+    return _valid_scalars(_unpack(a), rel)
+
+
+def spd_valid_packed(a: Array, rel: float = 1e-9) -> Array:
+    """Entry-major PD check: a (n, n, batch) -> (batch,) bool."""
+    n = a.shape[0]
+    return _valid_scalars(
+        [[a[i, j] for j in range(n)] for i in range(n)], rel
+    )
 
 
 def slogdet_spd(a: Array) -> Array:

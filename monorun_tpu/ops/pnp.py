@@ -38,7 +38,10 @@ import jax
 import jax.numpy as jnp
 
 from .geometry import approx_hessian, gn_normal_equations
-from .linalg_small import spd_inverse, spd_solve_packed, spd_valid
+from .linalg_small import (
+    spd_inverse, spd_inverse_packed, spd_solve_packed, spd_valid,
+    spd_valid_packed,
+)
 
 Array = jnp.ndarray
 
@@ -292,7 +295,8 @@ def lm_refine(
     )
     # h is J^T J at the last accepted pose == the returned pose, under the
     # same mask — callers reuse it as the covariance Hessian for free
-    return pose[:, :1], pose[:, 1:], cost, jnp.moveaxis(h, -1, 0)
+    # (entry-major (4, 4, b), ready for the packed PD check / inverse)
+    return pose[:, :1], pose[:, 1:], cost, h
 
 
 def pose_covariance(
@@ -365,10 +369,11 @@ def pnp_uncert(
         yaw0, t0, opt_mask, cfg,
     )
     # cov = (J^T J)^{-1} with PD guard (pnp_uncert.py:77-85); the Hessian
-    # comes straight out of the LM carry (already at the final pose)
-    cov_valid = spd_valid(hess, rel=1e-9)
-    h_safe = jnp.where(cov_valid[:, None, None], hess, jnp.eye(4))
-    cov = spd_inverse(h_safe)
+    # comes straight out of the LM carry (already at the final pose,
+    # entry-major so the whole guard+inverse stays on the lane axis)
+    cov_valid = spd_valid_packed(hess, rel=1e-9)
+    h_safe = jnp.where(cov_valid[None, None], hess, jnp.eye(4)[:, :, None])
+    cov = spd_inverse_packed(h_safe)
     valid = (
         cov_valid
         & jnp.isfinite(cost)

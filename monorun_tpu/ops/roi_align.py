@@ -153,14 +153,33 @@ def roi_align(
 
 
 def assign_fpn_levels(
-    rois: Array, num_levels: int, finest_scale: float
+    rois: Array,
+    num_levels: int,
+    finest_scale: float,
+    long_span_cap: float = None,
+    stride0: float = None,
 ) -> Array:
-    """mmdet SingleRoIExtractor level mapping (int32, (n,))."""
-    scale = jnp.sqrt(
-        jnp.clip(rois[:, 3] - rois[:, 1], 0, None)
-        * jnp.clip(rois[:, 4] - rois[:, 2], 0, None)
-    )
+    """mmdet SingleRoIExtractor level mapping (int32, (n,)).
+
+    ``long_span_cap`` (feature cells, with ``stride0`` = finest stride)
+    additionally pushes an RoI coarser until its LONG side fits the cap.
+    mmdet maps by area alone, so a border-clipped sliver (e.g. 216x47 px,
+    geometric scale 101) can span 54+ cells at its area level — beyond
+    any fixed tile budget a TPU kernel can fetch. The cap only moves
+    boxes with effective aspect ratio above ~(cap/(2*finest_scale))^2
+    (degenerate, border-clipped ones) one level coarser; uncapped
+    multilevel_roi_align remains the pure-mmdet reference semantic.
+    """
+    w = jnp.clip(rois[:, 3] - rois[:, 1], 0, None)
+    h = jnp.clip(rois[:, 4] - rois[:, 2], 0, None)
+    scale = jnp.sqrt(w * h)
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    if long_span_cap is not None:
+        need = jnp.ceil(jnp.log2(
+            jnp.clip(jnp.maximum(w, h) / (long_span_cap * stride0),
+                     2.0 ** -20, None)
+        ))
+        lvl = jnp.maximum(lvl, need)
     return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
 
 
@@ -173,6 +192,7 @@ def multilevel_roi_align(
     sampling_ratio: int = 0,
     max_ratio: int = 4,
     chunk_size: int = 512,
+    long_span_cap: float = None,
 ) -> Array:
     """FPN RoIAlign via one gather over a flattened pyramid.
 
@@ -215,7 +235,8 @@ def multilevel_roi_align(
 
     def chunk_fn(rois_c: Array) -> Array:
         m = rois_c.shape[0]
-        lvls = assign_fpn_levels(rois_c, L, finest_scale)
+        lvls = assign_fpn_levels(rois_c, L, finest_scale,
+                                 long_span_cap, float(strides[0]))
         scale_n = 1.0 / stride_arr[lvls]
         Hn = h_arr[lvls]
         Wn = w_arr[lvls]
@@ -480,18 +501,20 @@ def multilevel_roi_align_auto(
     if jax.default_backend() == "tpu":
         from .roi_align_pallas import multilevel_roi_align_pallas
 
-        # keep the double-buffered tile scratch + the block-diagonal
-        # matmul's f32 accumulator under the ~16MB VMEM budget
-        # (f32 tiles are twice bf16's bytes: halve the block)
-        kroi = 6 if tile_h <= 24 else 4
-        if features[0].dtype.itemsize >= 4:
-            kroi //= 2
+        # tiles are fetched as conditional (16, 32) quadrants, so Th is
+        # rounded up to the 16-row block; keep the double-buffered tile
+        # scratch under the ~16MB scoped-VMEM budget (f32 tiles are twice
+        # bf16's bytes: smaller RoI block)
+        tile_h = ((max(tile_h, 32) + 15) // 16) * 16
+        kroi = 8 if features[0].dtype.itemsize < 4 else 4
         return multilevel_roi_align_pallas(
             features, rois, strides, out_size, finest_scale,
-            max_ratio=max_ratio, tile_hw=(tile_h, 64), kroi=kroi,
+            max_ratio=max_ratio, tile_hw=(tile_h, 96), kroi=kroi,
             pyramid=pyramid,
         )
+    # identical semantics to the pallas path, including its long-side
+    # level cap (96-col tile budget minus snap/halo)
     return multilevel_roi_align(
         features, rois, strides, out_size, finest_scale,
-        sampling_ratio=0, max_ratio=max_ratio,
+        sampling_ratio=0, max_ratio=max_ratio, long_span_cap=96 - 18,
     )

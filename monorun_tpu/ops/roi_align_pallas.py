@@ -40,13 +40,19 @@ Array = jnp.ndarray
 # guard rows appended after each level buffer so row overruns of the last
 # image land in zeros; also the minimum padded in-row extent so any tile
 # width up to MAX_TW stays in bounds
-MAX_TH, MAX_TW = 32, 64
+MAX_TH, MAX_TW = 32, 96
+
+
+# quadrant granularity of the conditional tile DMA (see _kernel)
+ROW_BLK, COL_BLK = 16, 32
 
 
 def _kernel(
     buf_ref,             # (N,) int32 — which of the 2L level buffers
     r0_ref,              # (N,) int32 — first tile row in that buffer
     c0_ref,              # (N,) int32 — in-row origin (16-aligned)
+    nrb_ref,             # (N,) int32 — row blocks of 16 actually touched
+    ncb_ref,             # (N,) int32 — col blocks of 32 actually touched
     *refs,
     nbufs: int,
     kroi: int,
@@ -57,21 +63,54 @@ def _kernel(
 
     Double-buffered: issue half 1, compute half 0 (waiting per-RoI),
     issue next step's half 0, compute half 1.
+
+    Each RoI issues exactly ONE copy whose static shape is picked from a
+    (row blocks of 16) x (col blocks of 32) tier table by the RoI's
+    actual tap extent (nrb/ncb, computed with the interp matrices
+    host-side). Tiles are sized for the worst RoI at the level, but the
+    typical RoI sits near the lower scale boundary and touches only the
+    smallest tier — the fetch is ~85% HBM-bandwidth-bound (halving tile
+    bytes measured 7.5 -> 5.0 -> 3.7 ms/call at 4008 RoIs), so adaptive
+    bytes ~halve the cost. One copy per RoI is load-bearing: fetching
+    the same bytes as 2-6 per-quadrant DMAs measured 16-19 ms/call
+    (descriptor-issue-bound), WORSE than the full unconditional fetch.
+    Unfetched tile regions hold stale-but-finite VMEM data (zeroed at
+    block 0) that the interp matmuls annihilate with exact 0.0 weights.
     """
     bufs = refs[:nbufs]
     y_ref, x_ref, out_ref, tile0_ref, tile1_ref, sem = refs[nbufs:]
     blk = pl.program_id(0)
     nblk = pl.num_programs(0)
     tiles = (tile0_ref, tile1_ref)
+    nrq = th // ROW_BLK
+    ncq = tw // COL_BLK
 
-    def dma(step, half, r, b):
+    def dma(step, half, r, b, rb, cb):
         i = (step * 2 + half) * kroi + r
         c0 = pl.multiple_of(c0_ref[i], 16)
         return pltpu.make_async_copy(
-            bufs[b].at[pl.ds(r0_ref[i], th), pl.ds(c0, tw), :],
-            tiles[half].at[r],
+            bufs[b].at[
+                pl.ds(r0_ref[i], rb * ROW_BLK),
+                pl.ds(c0, cb * COL_BLK),
+                :,
+            ],
+            tiles[half].at[
+                r,
+                pl.ds(0, rb * ROW_BLK),
+                pl.ds(0, cb * COL_BLK),
+                :,
+            ],
             sem.at[half, r],
         )
+
+    def for_tier(i, fn):
+        # nrq * ncq predicated regions per RoI, exactly one of which
+        # fires; fn(rb, cb) must issue/wait a single tier-shaped copy
+        for rb in range(1, nrq + 1):
+            for cb in range(1, ncq + 1):
+                @pl.when((nrb_ref[i] == rb) & (ncb_ref[i] == cb))
+                def _():
+                    fn(rb, cb)
 
     def issue(step, half):
         for r in range(kroi):
@@ -79,7 +118,9 @@ def _kernel(
             for b in range(nbufs):
                 @pl.when(buf_ref[i] == b)
                 def _():
-                    dma(step, half, r, b).start()
+                    for_tier(
+                        i, lambda rb, cb: dma(step, half, r, b, rb, cb).start()
+                    )
 
     def compute(half):
         c = tile0_ref.shape[-1]
@@ -88,21 +129,37 @@ def _kernel(
             for b in range(nbufs):
                 @pl.when(buf_ref[i] == b)
                 def _():
-                    dma(blk, half, r, b).wait()
-            tile = tiles[half][r].reshape(th, tw * c)
+                    for_tier(
+                        i, lambda rb, cb: dma(blk, half, r, b, rb, cb).wait()
+                    )
             o = half * kroi + r
-            t1 = jnp.dot(
-                y_ref[o], tile, preferred_element_type=jnp.float32
-            ).reshape(-1, tw, c)                        # (oh, Tw, C)
-            out = jax.lax.dot_general(
-                x_ref[o], t1,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                           # (ow, oh, C)
-            out_ref[o] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
+
+            def comp(rb, cb):
+                # tier-shaped interp matmuls: the zero-weight Y/X columns
+                # beyond the fetched extent contribute nothing, and the
+                # full (Th, Tw) product at M=oh wastes MXU area on every
+                # small RoI (full-tile compute measured ~2.6x slower at
+                # the bbox-head mix)
+                rws, cls = rb * ROW_BLK, cb * COL_BLK
+                tile = tiles[half][r, :rws, :cls, :].reshape(rws, cls * c)
+                t1 = jnp.dot(
+                    y_ref[o][:, :rws], tile,
+                    preferred_element_type=jnp.float32,
+                ).reshape(-1, cls, c)                   # (oh, cls, C)
+                out = jax.lax.dot_general(
+                    x_ref[o][:, :cls], t1,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                       # (ow, oh, C)
+                out_ref[o] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
+
+            for_tier(i, comp)
 
     @pl.when(blk == 0)
     def _():
+        # never-fetched quadrants must hold finite data: 0 * NaN = NaN
+        tile0_ref[...] = jnp.zeros_like(tile0_ref)
+        tile1_ref[...] = jnp.zeros_like(tile1_ref)
         issue(0, 0)
 
     issue(blk, 1)
@@ -186,7 +243,7 @@ def multilevel_roi_align_pallas(
     out_size: Tuple[int, int],
     finest_scale: float = 56.0,
     max_ratio: int = 3,
-    tile_hw: Tuple[int, int] = (24, 48),
+    tile_hw: Tuple[int, int] = (32, 96),
     kroi: int = 8,
     pyramid=None,                # optional prepare_flat_pyramid output
 ) -> Array:
@@ -204,6 +261,7 @@ def multilevel_roi_align_pallas(
     L = len(features)
     Th, Tw = tile_hw
     assert Th <= MAX_TH and Tw <= MAX_TW, (Th, Tw)
+    assert Th % ROW_BLK == 0 and Tw % COL_BLK == 0, (Th, Tw)
     fdtype = features[0].dtype
 
     if pyramid is None:
@@ -219,7 +277,15 @@ def multilevel_roi_align_pallas(
         rois = jnp.concatenate([rois, jnp.zeros((n_pad, 5), rois.dtype)], 0)
     m = rois.shape[0]
 
-    lvls = assign_fpn_levels(rois, L, finest_scale)
+    # the long-side cap guarantees every nonzero-weight tap fits the
+    # (Th, Tw) tile even after the 16-snap of the in-row origin: a span
+    # of s cells touches at most s + 2 cols, plus <= 15 snap + 1 => Tw.
+    # The short side is bounded by the geometric scale (< 2 * finest /
+    # stride0 cells), which Th must budget for.
+    assert 2.0 * finest_scale / strides[0] <= Th - 2, (finest_scale, Th)
+    lvls = assign_fpn_levels(rois, L, finest_scale,
+                             long_span_cap=Tw - 18,
+                             stride0=float(strides[0]))
     Hn = h_arr[lvls]
     Wn = w_arr[lvls]
     boxes = rois[:, 1:5] / stride_arr[lvls][:, None] - 0.5
@@ -265,6 +331,19 @@ def multilevel_roi_align_pallas(
                   0.0, jnp.clip(B_size - Tw + 15.0, 0.0, None))
     b0 = jnp.floor(b0 / 16.0) * 16.0
 
+    # last tile row/col any nonzero-weight tap touches: bilinear upper tap
+    # floor(coord)+1, border-clamped to the level extent (mask out the
+    # adaptive-sampling slots k >= g, whose coords overshoot the bin)
+    neg = jnp.float32(-1e9)
+    a_hi = jnp.max(jnp.where(ma, a_coords, neg), axis=(1, 2))
+    b_hi = jnp.max(jnp.where(mb, b_coords, neg), axis=(1, 2))
+    a_hi = jnp.minimum(jnp.floor(a_hi) + 1.0, A_size - 1.0)
+    b_hi = jnp.minimum(jnp.floor(b_hi) + 1.0, B_size - 1.0)
+    nrb = jnp.clip(jnp.floor((a_hi - a0) / ROW_BLK), 0, Th // ROW_BLK - 1
+                   ).astype(jnp.int32) + 1
+    ncb = jnp.clip(jnp.floor((b_hi - b0) / COL_BLK), 0, Tw // COL_BLK - 1
+                   ).astype(jnp.int32) + 1
+
     Y = _axis_interp_matrix(a_coords, ma[:, :1], ga, a0, A_size, Th
                             ).astype(fdtype)
     X = _axis_interp_matrix(b_coords, mb[:, :1], gb, b0, B_size, Tw
@@ -283,7 +362,7 @@ def multilevel_roi_align_pallas(
             _kernel, nbufs=2 * L, kroi=kroi, th=Th, tw=Tw
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=5,
             grid=(grid,),
             in_specs=(
                 [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * L)
@@ -304,8 +383,11 @@ def multilevel_roi_align_pallas(
         out_shape=jax.ShapeDtypeStruct((m, oh, ow, C), fdtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # double-buffered (kroi, 32, 96, C) tile scratch wants more
+            # than the 16MB default scoped-VMEM budget; v5e has 128MB
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(buf_id, r0, c0, *bufs, Y, X)
+    )(buf_id, r0, c0, nrb, ncb, *bufs, Y, X)
     # transposed rois come back (ow, oh)-ordered
     out = jnp.where(
         tmask[:, None, None, None], jnp.swapaxes(out, 1, 2), out
