@@ -499,13 +499,29 @@ def multilevel_roi_align_auto(
     import jax
 
     if jax.default_backend() == "tpu":
-        from .roi_align_pallas import multilevel_roi_align_pallas
-
         # tiles are fetched as conditional (16, 32) quadrants, so Th is
         # rounded up to the 16-row block; keep the double-buffered tile
         # scratch under the ~16MB scoped-VMEM budget (f32 tiles are twice
         # bf16's bytes: smaller RoI block)
         tile_h = ((max(tile_h, 32) + 15) // 16) * 16
+
+        if rois.shape[0] >= 4096 and features[0].dtype.itemsize < 4:
+            # proposal scale: per-RoI tile DMAs exceed the pyramid bytes
+            # many times over and starve the interp matmuls; the band
+            # sweep fetches each touched 64-row band once (<= 2x pyramid
+            # traffic) and measured 19 ms vs 51 ms at 8016 RoIs (v5e).
+            # f32 (training) stays on the tile kernel: a double-buffered
+            # f32 band of the widest level would blow the VMEM budget.
+            from .roi_align_band import multilevel_roi_align_band
+
+            return multilevel_roi_align_band(
+                features, rois, strides, out_size, finest_scale,
+                max_ratio=max_ratio, tile_hw=(tile_h, 96), kroi=8,
+                pyramid=pyramid,
+            )
+
+        from .roi_align_pallas import multilevel_roi_align_pallas
+
         kroi = 8 if features[0].dtype.itemsize < 4 else 4
         return multilevel_roi_align_pallas(
             features, rois, strides, out_size, finest_scale,

@@ -1,0 +1,310 @@
+"""Band-sweep Pallas RoIAlign: sequential band DMA, zero per-RoI copies.
+
+The per-RoI tile-DMA kernel (roi_align_pallas.py) issues one HBM copy per
+RoI. At proposal scale (8k RoIs / 16 MB of tile traffic per grid step)
+those copies run concurrently with the per-RoI interp matmuls and the two
+starve each other on VMEM bandwidth: measured on v5e, DMA alone 11.4 ms,
+matmuls alone 5.2 ms, together 59 ms for 8016 RoIs. This kernel removes
+the per-RoI DMA entirely:
+
+* RoIs are bucketed by (pyramid buffer, 32-row band) of their tile's LAST
+  row and sorted; each touched band is DMA'd ONCE as a 64-row overlapping
+  window (band k holds buffer rows [32k-32, 32k+32), so any tile of
+  row-extent <= 32 assigned to band k is fully resident). Total traffic
+  is bounded by 2x the pyramid bytes (~large sequential copies at full
+  HBM bandwidth) instead of #RoIs x tile bytes.
+* per-RoI compute reads a FIXED 32-row window aligned to the tile's last
+  row (the interp matrix is shifted to the window origin host-side, so
+  rows before the tile get exact 0.0 weights). Branch-free rows are
+  load-bearing: with (row x col) tier branches the same math measured
+  47.8 ms for 8016 RoIs, column-only tiers 19.0 ms — per-RoI ``pl.when``
+  regions serialize far worse than the extra row FLOPs. Columns keep
+  their 3 tier branches (32/64/96), which measured faster than the
+  branch-free 96-col read.
+* blocks of ``kroi`` RoIs are padded so every block lies in one band;
+  two band slots alternate (compute band k while band k+1 streams in).
+
+Use when RoI count is large (the auto dispatcher switches at >= 4096) —
+the tile kernel's per-RoI DMA wins at small counts where total tile bytes
+are far below the pyramid size.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .roi_align_pallas import (
+    COL_BLK,
+    MAX_TH,
+    MAX_TW,
+    ROW_BLK,
+    prepare_flat_pyramid,
+    roi_tile_geometry,
+)
+
+Array = jnp.ndarray
+
+BAND_STEP = 32          # band granularity (rows); window = 2 * BAND_STEP
+BAND_ROWS = 64          # resident rows per band (covers 32-row tiles)
+
+
+def _band_kernel(
+    rw0_ref,             # (m_pad,) i32 — 32-row window origin in its buffer
+    c0_ref,              # (m_pad,) i32 — 16-snapped in-row origin
+    ncb_ref,             # (m_pad,) i32 — col blocks of 32 touched
+    bbuf_ref,            # (nblk,) i32 — band's pyramid buffer id
+    bstart_ref,          # (nblk,) i32 — band's first resident row
+    bnew_ref,            # (nblk,) i32 — 1 if this block starts a new band
+    bslot_ref,           # (nblk,) i32 — which of the 2 band slots
+    *refs,
+    nbufs: int,
+    kroi: int,
+    th: int,
+    tw: int,
+    rp_list: Tuple[int, ...],
+):
+    """refs = [buf_0..buf_{nbufs-1}, y_ref, x_ref, out_ref, band, sem]."""
+    bufs = refs[:nbufs]
+    y_ref, x_ref, out_ref, band_ref, sem = refs[nbufs:]
+    blk = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    ncq = tw // COL_BLK
+    c = band_ref.shape[-1]
+
+    def band_dma(bidx, action):
+        """Predicated per buffer id (static (64, rp_b, C) copy shape); the
+        wait reconstructs the identical descriptor so the semaphore's
+        byte count matches the copy that was issued."""
+        bbuf, bstart, slot = bbuf_ref[bidx], bstart_ref[bidx], bslot_ref[bidx]
+        for b in range(nbufs):
+            @pl.when(bbuf == b)
+            def _():
+                cp = pltpu.make_async_copy(
+                    bufs[b].at[pl.ds(bstart, BAND_ROWS), :, :],
+                    band_ref.at[slot, :, : rp_list[b], :],
+                    sem.at[slot],
+                )
+                cp.start() if action == "start" else cp.wait()
+
+    @pl.when(blk == 0)
+    def _():
+        band_dma(0, "start")
+
+    # first block of a band: wait for its DMA (issued at blk-1 or above)
+    @pl.when(bnew_ref[blk] == 1)
+    def _():
+        band_dma(blk, "wait")
+
+    # prefetch the next band while computing this one
+    @pl.when((blk + 1 < nblk) & (bnew_ref[blk + 1] == 1))
+    def _():
+        band_dma(blk + 1, "start")
+
+    slot = bslot_ref[blk]
+    bstart = bstart_ref[blk]
+    for r in range(kroi):
+        i = blk * kroi + r
+        row_off = rw0_ref[i] - bstart
+        c0 = pl.multiple_of(c0_ref[i], 16)
+
+        def comp(cb):
+            cls = cb * COL_BLK
+            tile = band_ref[
+                slot, pl.ds(row_off, th), pl.ds(c0, cls), :
+            ].reshape(th, cls * c)
+            t1 = jnp.dot(
+                y_ref[r], tile,
+                preferred_element_type=jnp.float32,
+            ).reshape(-1, cls, c)                   # (oh, cls, C)
+            out = jax.lax.dot_general(
+                x_ref[r][:, :cls], t1,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                       # (ow, oh, C)
+            out_ref[r] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
+
+        for cb in range(1, ncq + 1):
+            @pl.when(ncb_ref[i] == cb)
+            def _():
+                comp(cb)
+
+
+def multilevel_roi_align_band(
+    features: Sequence[Array],   # per level (B, H_l, W_l, C)
+    rois: Array,                 # (n, 5)
+    strides: Sequence[int],
+    out_size: Tuple[int, int],
+    finest_scale: float = 56.0,
+    max_ratio: int = 3,
+    tile_hw: Tuple[int, int] = (32, 96),
+    kroi: int = 8,
+    pyramid=None,
+) -> Array:
+    """Band-sweep RoIAlign; semantics == multilevel_roi_align (gather)."""
+    C = features[0].shape[-1]
+    oh, ow = out_size
+    assert oh == ow, "dual-orientation tiles require square outputs"
+    n = rois.shape[0]
+    Th, Tw = tile_hw
+    assert Th <= MAX_TH and Tw <= MAX_TW and Th <= BAND_STEP
+    fdtype = features[0].dtype
+
+    if pyramid is None:
+        pyramid = prepare_flat_pyramid(features)
+    bufs, sizes, B = pyramid
+    nbufs = len(bufs)
+    rows_list = [int(b.shape[0]) for b in bufs]
+    rp_list = tuple(int(b.shape[1]) for b in bufs)
+    assert min(rows_list) >= BAND_ROWS, (
+        "band sweep needs >= 64 rows per buffer; use the tile kernel"
+    )
+    wmax = max(rp_list)
+
+    m = n
+    # row_window=True: rw0 is a fixed Th-row read window aligned to the
+    # tile's last touched row block (branch-free rows in the kernel), and
+    # Y is built directly at the window origin. Window stays inside the
+    # 64-row band: rw0 >= bstart and rw0 + Th <= bstart + 64 for
+    # bstart = clip(32k - 32, 0, rows - 64), k = (rw0 + Th - 1) // 32.
+    tmask, Y, X, rw0, c0, nrb, ncb, buf_id = roi_tile_geometry(
+        rois, sizes, strides, out_size, finest_scale, max_ratio,
+        Th, Tw, fdtype, row_window=True,
+    )
+    end_row = rw0 + Th - 1
+
+    # ---- band assignment --------------------------------------------------
+    # band of a tile = band containing its LAST touched row; band k of a
+    # buffer holds rows [min(32k - 32, rows - 64) (clipped >= 0), +64)
+    kb_counts = [(rows + BAND_STEP - 1) // BAND_STEP for rows in rows_list]
+    base = [0]
+    for kb in kb_counts:
+        base.append(base[-1] + kb)
+    n_bands = base[-1]
+    base_arr = jnp.asarray(base[:-1], jnp.int32)
+    rows_arr = jnp.asarray(rows_list, jnp.int32)
+
+    k_band = end_row // BAND_STEP
+    band = base_arr[buf_id] + k_band                      # (m,)
+
+    def band_start_of(band_ids):
+        bbuf = (
+            jnp.searchsorted(
+                jnp.asarray(base[1:], jnp.int32), band_ids, side="right"
+            )
+        ).astype(jnp.int32)
+        kk = band_ids - base_arr[bbuf]
+        start = jnp.minimum(
+            kk * BAND_STEP - BAND_STEP, rows_arr[bbuf] - BAND_ROWS
+        )
+        return bbuf, jnp.clip(start, 0, None).astype(jnp.int32)
+
+    # ---- sort by band, pad each band to a multiple of kroi ---------------
+    # everything below is GATHER-only: scattering Y/X into padded slots
+    # (.at[slot].set) lowered to TPU scatters that cost ~25 ms/step at 8k
+    # RoIs — more than the kernel itself. Instead each padded slot
+    # computes which sorted RoI it reads (src_orig) and gathers.
+    order = jnp.argsort(band)                             # stable
+    band_sorted = band[order]
+    # cum_counts[k] = #RoIs in bands < k, via binary search on the sorted
+    # keys (a scatter-add histogram is another TPU scatter)
+    cum_counts = jnp.searchsorted(
+        band_sorted, jnp.arange(n_bands + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = cum_counts[1:] - cum_counts[:-1]             # (n_bands,)
+    padded = ((counts + kroi - 1) // kroi) * kroi
+    cum_padded = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)]
+    )
+    # slot of sorted element j: pad_off[band_j] + rank within its band
+    rank = jnp.arange(m, dtype=jnp.int32) - cum_counts[band_sorted]
+    slot_sorted = cum_padded[band_sorted] + rank          # (m,)
+
+    m_pad = ((m + (kroi - 1) * n_bands + kroi - 1) // kroi) * kroi
+    nblk = m_pad // kroi
+
+    # per-slot band id: searchsorted over the padded cumsum; trailing
+    # slots (beyond all real bands) clip to the last band — their RoIs
+    # are dummies with zero interp weights
+    band_slotted = jnp.clip(
+        jnp.searchsorted(
+            cum_padded, jnp.arange(m_pad, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32) - 1,
+        0, n_bands - 1,
+    )
+    dummy_buf, dummy_start = band_start_of(band_slotted)
+
+    # which original RoI each padded slot reads; dummy slots (rank past
+    # their band's real count) clamp to an arbitrary in-band RoI and are
+    # masked to zero weights / band-start reads below
+    rank_p = jnp.arange(m_pad, dtype=jnp.int32) - cum_padded[band_slotted]
+    cnt_p = counts[band_slotted]
+    valid_p = rank_p < cnt_p
+    src_sorted = cum_counts[band_slotted] + jnp.minimum(
+        rank_p, jnp.maximum(cnt_p - 1, 0)
+    )
+    src_orig = order[jnp.clip(src_sorted, 0, m - 1)]      # (m_pad,)
+
+    def sel(arr, dummy):
+        g = arr[src_orig]
+        v = valid_p.reshape((m_pad,) + (1,) * (arr.ndim - 1))
+        return jnp.where(v, g, jnp.asarray(dummy, arr.dtype))
+
+    rw0_p = jnp.where(valid_p, rw0[src_orig], dummy_start)
+    c0_p = sel(c0, 0)
+    ncb_p = sel(ncb, 1)
+    Y_p = sel(Y, 0)
+    X_p = sel(X, 0)
+
+    blk_band = band_slotted[:: kroi]                      # (nblk,)
+    blk_buf, blk_start = band_start_of(blk_band)
+    blk_new = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (blk_band[1:] != blk_band[:-1]).astype(jnp.int32)]
+    )
+    blk_slot = ((jnp.cumsum(blk_new) - 1) % 2).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _band_kernel, nbufs=nbufs, kroi=kroi, th=Th, tw=Tw,
+            rp_list=rp_list,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(nblk,),
+            in_specs=(
+                [pl.BlockSpec(memory_space=pl.ANY)] * nbufs
+                + [
+                    pl.BlockSpec((kroi, oh, Th), lambda i, *_: (i, 0, 0)),
+                    pl.BlockSpec((kroi, ow, Tw), lambda i, *_: (i, 0, 0)),
+                ]
+            ),
+            out_specs=pl.BlockSpec(
+                (kroi, oh, ow, C), lambda i, *_: (i, 0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, BAND_ROWS, wmax, C), fdtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, oh, ow, C), fdtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(rw0_p, c0_p, ncb_p, blk_buf, blk_start, blk_new, blk_slot,
+      *bufs, Y_p, X_p)
+
+    # restore original RoI order, then fix transposed orientations
+    # (argsort(order) inverts the permutation without a TPU scatter)
+    slot_of_orig = slot_sorted[jnp.argsort(order)]
+    out = out[slot_of_orig]
+    out = jnp.where(
+        tmask[:, None, None, None], jnp.swapaxes(out, 1, 2), out
+    )
+    return out[:n]

@@ -42,6 +42,11 @@ Array = jnp.ndarray
 # width up to MAX_TW stays in bounds
 MAX_TH, MAX_TW = 32, 96
 
+# minimum buffer rows (and padded-path guard row count): the band-sweep
+# kernel (roi_align_band.py) DMAs fixed 64-row windows, so every buffer
+# must hold at least one
+GUARD_ROWS = 64
+
 
 # quadrant granularity of the conditional tile DMA (see _kernel)
 ROW_BLK, COL_BLK = 16, 32
@@ -217,17 +222,21 @@ def prepare_flat_pyramid(features: Sequence[Array]):
     def flat(f3):
         """(B, rows, rlen, C) -> padded/guarded or zero-copy 3-D buffer."""
         _, rows, rlen, _ = f3.shape
-        if rows >= MAX_TH and rlen >= MAX_TW and rlen % 16 == 0:
+        if (rows >= MAX_TH and B * rows >= GUARD_ROWS
+                and rlen >= MAX_TW and rlen % 16 == 0):
             return f3.reshape(B * rows, rlen, C)
         # +16 in-row slack: the 16-snapped tile origin may sit up to 15
         # columns left of the right-edge-clipped ideal, so reads can
         # extend up to 15 columns past the level extent (zero-weighted
-        # taps); guard rows catch vertical overruns of short buffers
+        # taps); guard rows catch vertical overruns of short buffers AND
+        # guarantee >= GUARD_ROWS rows for the band-sweep kernel's fixed
+        # 64-row band windows
         rp = max(rlen, MAX_TW) + 16
         g = jnp.pad(f3, ((0, 0), (0, 0), (0, rp - rlen), (0, 0)))
         g = g.reshape(B * rows, rp, C)
+        guard = max(MAX_TH, GUARD_ROWS - B * rows)
         return jnp.concatenate(
-            [g, jnp.zeros((MAX_TH, rp, C), fdtype)], axis=0
+            [g, jnp.zeros((guard, rp, C), fdtype)], axis=0
         )
 
     for f in features:
@@ -236,46 +245,42 @@ def prepare_flat_pyramid(features: Sequence[Array]):
     return tuple(bufs), tuple(sizes), B
 
 
-def multilevel_roi_align_pallas(
-    features: Sequence[Array],   # per level (B, H_l, W_l, C)
-    rois: Array,                 # (n, 5)
+def roi_tile_geometry(
+    rois: Array,                 # (m, 5) image coords (already padded)
+    sizes: Sequence[Tuple[int, int]],
     strides: Sequence[int],
     out_size: Tuple[int, int],
-    finest_scale: float = 56.0,
-    max_ratio: int = 3,
-    tile_hw: Tuple[int, int] = (32, 96),
-    kroi: int = 8,
-    pyramid=None,                # optional prepare_flat_pyramid output
-) -> Array:
-    """Pallas-backed RoIAlign; semantics == multilevel_roi_align.
+    finest_scale: float,
+    max_ratio: int,
+    Th: int,
+    Tw: int,
+    fdtype,
+    row_window: bool = False,
+):
+    """Shared per-RoI tile geometry for the Pallas align kernels.
 
-    Each RoI reads from the orientation of the dual pyramid whose short
-    axis maps to the Th tile rows (see prepare_flat_pyramid), so tall and
-    wide RoIs are both covered exactly; the kernel's output for transposed
-    RoIs comes back (ow, oh)-ordered and is swapped afterwards.
+    Returns (tmask, Y, X, r0, c0, nrb, ncb, buf_id): dual-orientation
+    level/tile assignment, interp matrices, tile origins and the touched
+    (16-row, 32-col) block tier. Both the per-RoI-DMA kernel and the
+    band-sweep kernel consume exactly this geometry, so they are
+    numerically identical by construction.
+
+    With ``row_window=True`` (band-sweep kernel), the returned ``r0`` is
+    instead the origin of a fixed Th-row read window aligned to the
+    tile's LAST touched row block, clipped at buffer row 0 —
+    ``max(r0 + nrb * ROW_BLK - Th, 0)`` — and ``Y`` is built directly at
+    that origin (leading window rows before the tile get exact 0.0
+    weights; for images past the first the window may dip into the
+    previous image's rows, likewise zero-weighted). Building Y at the
+    window origin here is load-bearing: shifting it afterwards with
+    take_along_axis lowers to an elementwise gather that measured
+    20.7 ms/step at 8k RoIs — more than the align kernel itself.
     """
-    C = features[0].shape[-1]
     oh, ow = out_size
-    assert oh == ow, "dual-orientation tiles require square outputs"
-    n = rois.shape[0]
-    L = len(features)
-    Th, Tw = tile_hw
-    assert Th <= MAX_TH and Tw <= MAX_TW, (Th, Tw)
-    assert Th % ROW_BLK == 0 and Tw % COL_BLK == 0, (Th, Tw)
-    fdtype = features[0].dtype
-
-    if pyramid is None:
-        pyramid = prepare_flat_pyramid(features)
-    bufs, sizes, B = pyramid
-
+    L = len(sizes)
     stride_arr = jnp.asarray([float(s) for s in strides])
     h_arr = jnp.asarray([h for h, _ in sizes], jnp.float32)
     w_arr = jnp.asarray([w for _, w in sizes], jnp.float32)
-
-    n_pad = (-n) % (2 * kroi)
-    if n_pad:
-        rois = jnp.concatenate([rois, jnp.zeros((n_pad, 5), rois.dtype)], 0)
-    m = rois.shape[0]
 
     # the long-side cap guarantees every nonzero-weight tap fits the
     # (Th, Tw) tile even after the 16-snap of the in-row origin: a span
@@ -344,17 +349,64 @@ def multilevel_roi_align_pallas(
     ncb = jnp.clip(jnp.floor((b_hi - b0) / COL_BLK), 0, Tw // COL_BLK - 1
                    ).astype(jnp.int32) + 1
 
-    Y = _axis_interp_matrix(a_coords, ma[:, :1], ga, a0, A_size, Th
-                            ).astype(fdtype)
-    X = _axis_interp_matrix(b_coords, mb[:, :1], gb, b0, B_size, Tw
-                            ).astype(fdtype)
-
     # tile-row count of the chosen buffer (H row-major, W transposed)
     rows = jnp.where(tmask, Wn, Hn).astype(jnp.int32)
     batch = rois[:, 0].astype(jnp.int32)
     r0 = batch * rows + a0.astype(jnp.int32)
+    if row_window:
+        r0 = jnp.maximum(r0 + nrb * ROW_BLK - Th, 0)
+        a0 = (r0 - batch * rows).astype(jnp.float32)
+
+    Y = _axis_interp_matrix(a_coords, ma[:, :1], ga, a0, A_size, Th
+                            ).astype(fdtype)
+    X = _axis_interp_matrix(b_coords, mb[:, :1], gb, b0, B_size, Tw
+                            ).astype(fdtype)
     c0 = b0.astype(jnp.int32)
     buf_id = (lvls * 2 + tmask.astype(jnp.int32)).astype(jnp.int32)
+    return tmask, Y, X, r0, c0, nrb, ncb, buf_id
+
+
+def multilevel_roi_align_pallas(
+    features: Sequence[Array],   # per level (B, H_l, W_l, C)
+    rois: Array,                 # (n, 5)
+    strides: Sequence[int],
+    out_size: Tuple[int, int],
+    finest_scale: float = 56.0,
+    max_ratio: int = 3,
+    tile_hw: Tuple[int, int] = (32, 96),
+    kroi: int = 8,
+    pyramid=None,                # optional prepare_flat_pyramid output
+) -> Array:
+    """Pallas-backed RoIAlign; semantics == multilevel_roi_align.
+
+    Each RoI reads from the orientation of the dual pyramid whose short
+    axis maps to the Th tile rows (see prepare_flat_pyramid), so tall and
+    wide RoIs are both covered exactly; the kernel's output for transposed
+    RoIs comes back (ow, oh)-ordered and is swapped afterwards.
+    """
+    C = features[0].shape[-1]
+    oh, ow = out_size
+    assert oh == ow, "dual-orientation tiles require square outputs"
+    n = rois.shape[0]
+    Th, Tw = tile_hw
+    assert Th <= MAX_TH and Tw <= MAX_TW, (Th, Tw)
+    assert Th % ROW_BLK == 0 and Tw % COL_BLK == 0, (Th, Tw)
+    fdtype = features[0].dtype
+
+    if pyramid is None:
+        pyramid = prepare_flat_pyramid(features)
+    bufs, sizes, B = pyramid
+
+    n_pad = (-n) % (2 * kroi)
+    if n_pad:
+        rois = jnp.concatenate([rois, jnp.zeros((n_pad, 5), rois.dtype)], 0)
+    m = rois.shape[0]
+
+    tmask, Y, X, r0, c0, nrb, ncb, buf_id = roi_tile_geometry(
+        rois, sizes, strides, out_size, finest_scale, max_ratio,
+        Th, Tw, fdtype,
+    )
+    L = len(sizes)
 
     grid = m // (2 * kroi)
     out = pl.pallas_call(
@@ -365,7 +417,7 @@ def multilevel_roi_align_pallas(
             num_scalar_prefetch=5,
             grid=(grid,),
             in_specs=(
-                [pl.BlockSpec(memory_space=pltpu.ANY)] * (2 * L)
+                [pl.BlockSpec(memory_space=pl.ANY)] * (2 * L)
                 + [
                     pl.BlockSpec((2 * kroi, oh, Th), lambda i, *_: (i, 0, 0)),
                     pl.BlockSpec((2 * kroi, ow, Tw), lambda i, *_: (i, 0, 0)),
