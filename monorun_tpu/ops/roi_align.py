@@ -520,10 +520,14 @@ def multilevel_roi_align_auto(
                 pyramid=pyramid,
             )
 
-        from .roi_align_pallas import multilevel_roi_align_pallas
+        # small/medium counts: sorted-by-buffer per-RoI DMA (one
+        # unconditional full-tile copy per RoI; buffer branch hoisted to
+        # block level). Measured 6.6 / 8.5 ms at 800 RoIs (7x7 / 14x14)
+        # vs 8.4 / 12.4 for the tier-branched tile kernel.
+        from .roi_align_sorted import multilevel_roi_align_sorted
 
-        kroi = 8 if features[0].dtype.itemsize < 4 else 4
-        return multilevel_roi_align_pallas(
+        kroi = 16 if features[0].dtype.itemsize < 4 else 8
+        return multilevel_roi_align_sorted(
             features, rois, strides, out_size, finest_scale,
             max_ratio=max_ratio, tile_hw=(tile_h, 96), kroi=kroi,
             pyramid=pyramid,
