@@ -211,11 +211,14 @@ def multilevel_roi_align_band(
     # computes which sorted RoI it reads (src_orig) and gathers.
     order = jnp.argsort(band)                             # stable
     band_sorted = band[order]
-    # cum_counts[k] = #RoIs in bands < k, via binary search on the sorted
-    # keys (a scatter-add histogram is another TPU scatter)
-    cum_counts = jnp.searchsorted(
-        band_sorted, jnp.arange(n_bands + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    # cum_counts[k] = #RoIs in bands < k. A (m, n_bands) compare-sum:
+    # jnp.searchsorted lowers to a vectorized binary-search while-loop
+    # that profiled 1.5 ms/step at 8k RoIs; a scatter-add histogram is a
+    # TPU scatter (worse). The brute compare matrix is ~3M lane ops.
+    cum_counts = jnp.sum(
+        band[:, None] < jnp.arange(n_bands + 1, dtype=jnp.int32)[None, :],
+        axis=0, dtype=jnp.int32,
+    )
     counts = cum_counts[1:] - cum_counts[:-1]             # (n_bands,)
     padded = ((counts + kroi - 1) // kroi) * kroi
     cum_padded = jnp.concatenate(
@@ -228,13 +231,14 @@ def multilevel_roi_align_band(
     m_pad = ((m + (kroi - 1) * n_bands + kroi - 1) // kroi) * kroi
     nblk = m_pad // kroi
 
-    # per-slot band id: searchsorted over the padded cumsum; trailing
-    # slots (beyond all real bands) clip to the last band — their RoIs
-    # are dummies with zero interp weights
+    # per-slot band id (compare-sum, not searchsorted — see cum_counts);
+    # trailing slots (beyond all real bands) clip to the last band —
+    # their RoIs are dummies with zero interp weights
     band_slotted = jnp.clip(
-        jnp.searchsorted(
-            cum_padded, jnp.arange(m_pad, dtype=jnp.int32), side="right"
-        ).astype(jnp.int32) - 1,
+        jnp.sum(
+            cum_padded[None, :] <= jnp.arange(m_pad, dtype=jnp.int32)[:, None],
+            axis=1, dtype=jnp.int32,
+        ) - 1,
         0, n_bands - 1,
     )
     dummy_buf, dummy_start = band_start_of(band_slotted)

@@ -61,9 +61,13 @@ def sorted_block_prep(key: Array, n_keys: int, kroi: int):
     m = key.shape[0]
     order = jnp.argsort(key)
     key_sorted = key[order]
-    cum_counts = jnp.searchsorted(
-        key_sorted, jnp.arange(n_keys + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    # compare-sum, not searchsorted: the vectorized binary-search
+    # while-loop profiled ~0.8 ms/step at 8k items, the compare matrix
+    # is a handful of lane ops
+    cum_counts = jnp.sum(
+        key[:, None] < jnp.arange(n_keys + 1, dtype=jnp.int32)[None, :],
+        axis=0, dtype=jnp.int32,
+    )
     counts = cum_counts[1:] - cum_counts[:-1]
     padded = ((counts + kroi - 1) // kroi) * kroi
     cum_padded = jnp.concatenate(
@@ -75,9 +79,10 @@ def sorted_block_prep(key: Array, n_keys: int, kroi: int):
 
     m_pad = ((m + (kroi - 1) * n_keys + kroi - 1) // kroi) * kroi
     key_slotted = jnp.clip(
-        jnp.searchsorted(
-            cum_padded, jnp.arange(m_pad, dtype=jnp.int32), side="right"
-        ).astype(jnp.int32) - 1,
+        jnp.sum(
+            cum_padded[None, :] <= jnp.arange(m_pad, dtype=jnp.int32)[:, None],
+            axis=1, dtype=jnp.int32,
+        ) - 1,
         0, n_keys - 1,
     )
     rank_p = jnp.arange(m_pad, dtype=jnp.int32) - cum_padded[key_slotted]
