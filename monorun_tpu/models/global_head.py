@@ -31,20 +31,26 @@ Array = jnp.ndarray
 
 
 def _dropout_mask(key, keep: float, shape, dtype):
-    """Bernoulli(keep) mask from uint8 draws instead of bernoulli().
+    """Pre-scaled {0, 1/keep} dropout mask from uint8 draws.
 
     bernoulli() burns one threefry WORD per element (~0.9 ms/step for the
     two (n, 50, 1024) MC masks); a uint8 draw needs a quarter word, and
     `u8 < round(keep * 256)` is an exactly-Bernoulli(keep) coin whenever
     keep is a multiple of 1/256 (p = 0.5 included). A previous variant
     unpacked raw bits with 32 shift/mask lanes per word — the shifts
-    alone profiled at 1.65 ms/step, slower than what they saved.
+    alone profiled at 1.65 ms/step, slower than what they saved. Baking
+    the 1/keep rescale into the select saves a separate convert + mul +
+    div chain over the (n, S, F) activations (another ~2 ms/step).
     """
     thresh = round(keep * 256.0)
+    inv = jnp.asarray(1.0 / keep, dtype)
     if abs(thresh - keep * 256.0) > 1e-9 or not 0 < thresh < 256:
-        return jax.random.bernoulli(key, keep, shape).astype(dtype)
+        return jnp.where(
+            jax.random.bernoulli(key, keep, shape), inv,
+            jnp.zeros((), dtype),
+        )
     u8 = jax.random.bits(key, shape, jnp.uint8)
-    return (u8 < jnp.uint8(thresh)).astype(dtype)
+    return jnp.where(u8 < jnp.uint8(thresh), inv, jnp.zeros((), dtype))
 
 
 class GlobalHeadOutput(NamedTuple):
@@ -117,12 +123,16 @@ class GlobalHead(nn.Module):
         # matmul); (n, S, C) @ (n, C, F) is the natural batched form
         S = c.mc_samples
         P = jnp.einsum("nca,caf->ncf", xt, k0)            # (n, C, F)
-        m2d = jax.random.bernoulli(r2d, keep2d, (n, S, ch)).astype(self.dtype)
-        pre0 = jnp.einsum("nsc,ncf->nsf", m2d, P) / keep2d + b0
+        m2d = jnp.where(
+            jax.random.bernoulli(r2d, keep2d, (n, S, ch)),
+            jnp.asarray(1.0 / keep2d, self.dtype),
+            jnp.zeros((), self.dtype),
+        )                          # pre-scaled: folds the /keep2d rescale
+        pre0 = jnp.einsum("nsc,ncf->nsf", m2d, P) + b0
         h = nn.relu(pre0)                                 # (n, S, F)
-        h = h * _dropout_mask(r0, keep, h.shape, self.dtype) / keep
+        h = h * _dropout_mask(r0, keep, h.shape, self.dtype)
         h = nn.relu(fc1(h))
-        h = h * _dropout_mask(r1, keep, h.shape, self.dtype) / keep
+        h = h * _dropout_mask(r1, keep, h.shape, self.dtype)
         out = fc_reg(h).astype(jnp.float32)               # (n, S, D)
 
         mean = jnp.mean(out, axis=1)
