@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -50,6 +51,44 @@ class FrozenBatchNorm(nn.Module):
             self.dtype
         )
         return x * inv + shift
+
+
+class Conv1S2D(nn.Module):
+    """The 7x7/stride-2 stem conv, computed space-to-depth.
+
+    A 3-input-channel 7x7 conv runs the MXU at <5% occupancy (profiled
+    2.5 ms/step at batch 8). Rewriting input pixel 2o + k - 3 as
+    2(o + q) + p (q = floor((k-3)/2), p = (k-3) - 2q) turns the same sum
+    into a 4x4 / stride-1 conv over the 2x2-space-to-depth input (12
+    channels), bit-equivalent up to f32 accumulation order. The kernel
+    parameter keeps the torchvision (7, 7, 3, 64) shape/name so reference
+    checkpoints convert unchanged; the (4, 4, 12, 64) remap (45 of the
+    192 taps are structural zeros) happens in-graph and constant-folds
+    in the frozen-weight serving path.
+    """
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, self.features)
+        )
+        b, h, w, c = x.shape
+        w4 = jnp.zeros((4, 4, 2, 2, c, self.features), kernel.dtype)
+        for ky in range(7):
+            qy, py = (ky - 3) // 2 + 2, (ky - 3) % 2
+            for kx in range(7):
+                qx, px = (kx - 3) // 2 + 2, (kx - 3) % 2
+                w4 = w4.at[qy, qx, py, px].set(kernel[ky, kx])
+        w4 = w4.reshape(4, 4, 4 * c, self.features).astype(self.dtype)
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            xs, w4, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class Bottleneck(nn.Module):
@@ -97,8 +136,7 @@ class ResNet(nn.Module):
     def __call__(self, x: Array) -> Tuple[Array, ...]:
         blocks = STAGE_BLOCKS[self.depth]
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = Conv1S2D(64, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
