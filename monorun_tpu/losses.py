@@ -117,13 +117,34 @@ def kl_loss_mv(
     reduction: str = "mean",
     avg_factor: Optional[Array] = None,
 ) -> Array:
-    """Multivariate KL: 0.5 * (diff^T S^-1 diff - logdet S^-1), guarded."""
+    """Multivariate KL: 0.5 * (diff^T S^-1 diff - logdet S^-1), guarded.
+
+    The degeneracy guard must act on the slogdet INPUT, not its output:
+    ``where(bad, 0, f(A))`` still differentiates f at the bad A, and
+    d(logabsdet)/dA = A^-T is inf/NaN for singular or non-finite A — one
+    such matrix turns the whole gradient tree NaN through the global-norm
+    clip (reproduced at convergence-probe step 9: near-singular PnP
+    covariances whose determinant rounds to 0 under some compilations).
+    Validity is decided on stop_gradient values and bad matrices are
+    replaced by the identity before slogdet, so the dead branch is
+    differentiable everywhere.
+    """
     diff = _diff(pred, target, absolute=False)
-    sign, logabsdet = jnp.linalg.slogdet(inv_cov)
-    logdet = jnp.where(sign > 0, logabsdet, jnp.nan)
-    dw = jnp.einsum("ni,nij,nj->n", diff, inv_cov, diff)
-    loss = (dw - logdet) / 2.0
-    loss = jnp.where(jnp.isnan(logdet) | jnp.isinf(logdet), 0.0, loss)
+    d = inv_cov.shape[-1]
+    ic0 = jax.lax.stop_gradient(inv_cov)
+    sign0, logdet0 = jnp.linalg.slogdet(ic0)
+    # logdet > -60 also rejects PD-but-nearly-singular matrices whose
+    # inverse (the logabsdet gradient) would overflow f32
+    ok = (
+        jnp.all(jnp.isfinite(ic0.reshape(ic0.shape[0], -1)), axis=-1)
+        & (sign0 > 0)
+        & jnp.isfinite(logdet0)
+        & (logdet0 > -60.0)
+    )
+    safe = jnp.where(ok[:, None, None], inv_cov, jnp.eye(d, dtype=inv_cov.dtype))
+    _, logabsdet = jnp.linalg.slogdet(safe)
+    dw = jnp.einsum("ni,nij,nj->n", diff, safe, diff)
+    loss = jnp.where(ok, (dw - logabsdet) / 2.0, 0.0)
     return weighted_reduce(loss[:, None], weight, reduction, avg_factor)
 
 

@@ -610,12 +610,31 @@ def _train_forward(
             lm_iters=cfg.pose_head.lm_iters,
         ),
     )
-    pose_cov_calib = self.calibrated_cov(pnp.pose_cov)
-    pose_ok = pnp.valid & flat_pos_valid
+    # sanitize the (stop-gradient) covariance BEFORE calibration: the
+    # calibration jacobian d(s^2 * cov)/d logscale carries the raw cov
+    # VALUE, so an inf entry turns the logscale gradient NaN even on
+    # rows whose loss weight is zero
+    pc0 = pnp.pose_cov
+    npos_cov = pc0.shape[0]
+    pc_ok = (
+        jnp.all(jnp.isfinite(pc0.reshape(npos_cov, -1)), axis=-1)
+        & jnp.all(jnp.abs(pc0.reshape(npos_cov, -1)) < 1e18, axis=-1)
+    )
+    pose_cov_safe = jnp.where(pc_ok[:, None, None], pc0, jnp.eye(4))
+    pose_cov_calib = self.calibrated_cov(pose_cov_safe)
+    pose_ok = pnp.valid & flat_pos_valid & pc_ok
 
+    # score TARGETS are computed on detached predictions (the reference
+    # builds them under no_grad, mlp_score_head.py:124-129 /
+    # iou3d_balanced_sampler.py): dims carries gradients, and
+    # differentiating the rotated-IoU polygon clipping produces NaN
+    # gradients on degenerate geometry (arctan2(0, 0), zero-area
+    # intersections) that poison the whole parameter tree
     ious = bbox3d_overlaps_aligned(
         pos_gt_3d[:, jnp.asarray([3, 4, 5, 0, 1, 2, 6])],
-        jnp.concatenate([pnp.t_vec, dims, pnp.yaw], axis=1),
+        jax.lax.stop_gradient(
+            jnp.concatenate([pnp.t_vec, dims, pnp.yaw], axis=1)
+        ),
     )
     ious = jnp.where(pose_ok, ious, 0.0)
     losses["mean_iou"] = jnp.sum(
@@ -626,16 +645,33 @@ def _train_forward(
     # LossUpdaterHook equivalent applies config swaps in the train loop and
     # re-specialises this step; see config.LossScheduleEntry)
     yaw_diff = (pnp.yaw[:, 0] - pose_gt[:, 3] + jnp.pi) % (2 * jnp.pi) - jnp.pi
-    diff = jnp.concatenate(
-        [yaw_diff[:, None], pnp.t_vec - pose_gt[:, :3]], axis=1
+    # clip the (stop-gradient) pose error: a garbage-but-finite t_vec on a
+    # weight-0 row still enters the KL gradient as diff (x) diff, which
+    # overflows f32 and NaNs the logscale gradient via 0 * inf
+    diff = jnp.clip(
+        jnp.concatenate(
+            [yaw_diff[:, None], pnp.t_vec - pose_gt[:, :3]], axis=1
+        ),
+        -1e6, 1e6,
     )
     from ..ops.linalg_small import spd_inverse
 
-    inv_cov = spd_inverse(pose_cov_calib + jnp.eye(4))
+    # degenerate covariances must be replaced BEFORE the inverse, decided
+    # on stop_gradient values: a masked-out loss row still differentiates
+    # spd_inverse at the bad matrix (d inv/d logscale), and one NaN
+    # gradient leaf poisons every parameter through the global-norm clip
+    cc0 = jax.lax.stop_gradient(pose_cov_calib)
+    ncal = cc0.shape[0]
+    cov_ok = (
+        jnp.all(jnp.isfinite(cc0.reshape(ncal, -1)), axis=-1)
+        & jnp.all(jnp.abs(cc0.reshape(ncal, -1)) < 1e18, axis=-1)
+    )
+    safe_cov = jnp.where(cov_ok[:, None, None], pose_cov_calib, 0.0)
+    inv_cov = spd_inverse(safe_cov + jnp.eye(4))
     losses["loss_calib"] = (
         kl_loss_mv(
             jax.lax.stop_gradient(diff), 0, inv_cov,
-            weight=pose_ok[:, None].astype(jnp.float32),
+            weight=(pose_ok & cov_ok)[:, None].astype(jnp.float32),
         )
         * cfg.pose_head.loss_calib_weight
     )
@@ -656,8 +692,17 @@ def _train_forward(
         avg_factor=jnp.sum(pose_ok),
     )
 
+    # debug knob: MONORUN_DISABLE_LOSSES="loss_a,loss_b" excludes terms
+    # from the optimized total (metrics still report them) — used to
+    # bisect non-finite-gradient sources without touching configs
+    import os as _os
+
+    _disabled = set(
+        filter(None, _os.environ.get("MONORUN_DISABLE_LOSSES", "").split(","))
+    )
     total = sum(
-        v for k, v in losses.items() if k.startswith("loss")
+        v for k, v in losses.items()
+        if k.startswith("loss") and k not in _disabled
     )
     return total, (losses, new_ema)
 

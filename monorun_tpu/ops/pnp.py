@@ -133,7 +133,14 @@ def dlt_point_moments(
         for (i, j) in _TRI5
     ]
     atbs = [Av[..., i] * bv for i in range(5)]          # u-row b is 0
-    return jnp.stack(prods + atbs, axis=-1)
+    M = jnp.stack(prods + atbs, axis=-1)
+    # a degenerate point whose products overflow f32 (unbounded NOC
+    # regressions early in training) must not poison the weighted
+    # contraction: inf * 0-weight = NaN for EVERY subset of its RoI.
+    # Dropping the point matches the information content of the old
+    # per-subset gather path (which produced garbage for exactly the
+    # subsets that selected it).
+    return jnp.where(jnp.isfinite(M), M, 0.0)
 
 
 def dlt_solve_moments(M: Array, eps: float = 1e-8) -> Tuple[Array, Array]:

@@ -60,10 +60,46 @@ def make_lr_schedule(cfg: MonoRUnConfig, total_steps: int):
     return optax.join_schedules([warmup, cosine], [tr.warmup_iters])
 
 
+def zap_nonfinite() -> optax.GradientTransformation:
+    """Zero out non-finite gradient LEAVES before the global-norm clip.
+
+    One NaN/inf gradient leaf makes the global norm non-finite and the
+    clip then rescales EVERY parameter to NaN — a single degenerate
+    geometry (near-singular PnP covariance, overflowing pose error on a
+    masked row) poisons the whole run. The reference is shielded by
+    accident (its PnP/covariance path runs outside autograd on CPU);
+    here the equivalent failure containment is explicit. Zapped leaves
+    show up in the ``nonfinite_grad_leaves`` train metric.
+    """
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def fix(g):
+            ok = jnp.all(jnp.isfinite(g))
+            return jnp.where(ok, g, jnp.zeros_like(g))
+
+        return jax.tree.map(fix, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def count_nonfinite_leaves(grads) -> Array:
+    return sum(
+        (~jnp.all(jnp.isfinite(g))).astype(jnp.int32)
+        for g in jax.tree.leaves(grads)
+    )
+
+
 def make_optimizer(cfg: MonoRUnConfig, total_steps: int):
     tr = cfg.train
     sched = make_lr_schedule(cfg, total_steps)
     base = optax.chain(
+        zap_nonfinite(),
         optax.clip_by_global_norm(tr.grad_clip_norm),
         optax.adamw(sched, weight_decay=tr.weight_decay),
     )
@@ -149,6 +185,7 @@ def train_step(
     )
     metrics = dict(metrics)
     metrics["total_loss"] = total
+    metrics["nonfinite_grad_leaves"] = count_nonfinite_leaves(grads)
     if with_grad_stats:
         metrics.update(grad_stats(grads))
     return new_state, metrics
