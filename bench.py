@@ -11,6 +11,7 @@ stdout.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -23,6 +24,11 @@ from monorun_tpu.utils.compile_cache import enable_compilation_cache
 enable_compilation_cache()
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+# which param subtrees are baked into the executable as constants
+# ("backbone" = backbone+neck only, the serving default; "all"; "none")
+FREEZE = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+    "MONORUN_FREEZE", "backbone"
+)
 ITERS = 20
 
 
@@ -65,13 +71,28 @@ def main():
     # n times with a data dependency between iterations; one host fetch
     # closes the measurement. Slope between two trip counts removes the
     # fixed dispatch/fetch overhead.
-    # weights are closed over (compile-time constants): the serving path
-    # (apis/inference.InferenceSession) freezes them the same way, which
-    # lets XLA pre-pack conv kernels instead of relaying them out per call
-    def run_n(images, n, key):
+    # Backbone/neck weights are closed over (compile-time constants, which
+    # frees conv-kernel layout assignment); head weights stay runtime args
+    # — the same FREEZE split the serving path (InferenceSession) uses.
+    import flax
+
+    allvars = flax.core.unfreeze(variables)
+    params = dict(allvars["params"])
+    other = {k: v for k, v in allvars.items() if k != "params"}
+    baked_keys = {
+        "all": set(params),
+        "backbone": {"backbone", "neck"},
+        "none": set(),
+    }[FREEZE]
+    const_p = {k: v for k, v in params.items() if k in baked_keys}
+    live_p = {k: v for k, v in params.items() if k not in baked_keys}
+    print(f"freeze={FREEZE} baked={sorted(baked_keys)}", file=sys.stderr)
+
+    def run_n(live, images, n, key):
         def body(i, carry):
             det = model.apply(
-                variables, images + carry * 0.0, cam, shapes,
+                {**other, "params": {**const_p, **live}},
+                images + carry * 0.0, cam, shapes,
                 jax.random.fold_in(key, i),
             )
             return jnp.sum(det.bboxes_3d)
@@ -82,7 +103,7 @@ def main():
 
     def timed(n: int) -> float:
         t0 = time.time()
-        checksum = float(fn(images, n, jax.random.PRNGKey(1)))
+        checksum = float(fn(live_p, images, n, jax.random.PRNGKey(1)))
         dt = time.time() - t0
         print(f"n={n} dt={dt:.3f}s checksum={checksum:.3f}", file=sys.stderr)
         return dt

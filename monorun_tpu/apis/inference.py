@@ -59,7 +59,7 @@ class InferenceSession:
     """
 
     def __init__(self, cfg: MonoRUnConfig, variables, batch_size: int = 1,
-                 mesh=None):
+                 mesh=None, freeze: str = "backbone"):
         self.cfg = cfg
         self.model = MonoRUn(cfg)
         self.mesh = mesh
@@ -69,15 +69,31 @@ class InferenceSession:
             variables = replicate(variables, mesh)
         self.variables = variables
         self.batch_size = batch_size
-        # Weights are CLOSED OVER, not traced: for a serving session they
-        # are fixed, and baking them into the executable frees XLA's
-        # layout assignment from the default parameter layouts. Measured
-        # 2.4x end-to-end on v5e (26.2 -> 10.9 ms/step for ResNet-101+FPN
-        # at batch 4) vs passing them as runtime arguments.
-        frozen = _precast_kernels(cfg, variables)
+        # Backbone/neck weights are CLOSED OVER, not traced: for a serving
+        # session they are fixed, and baking them into the executable frees
+        # XLA's layout assignment from the default parameter layouts.
+        # Measured 2.4x end-to-end on v5e (26.2 -> 10.9 ms/step for
+        # ResNet-101+FPN at batch 4) vs passing them as runtime arguments.
+        # Head FC/conv weights stay RUNTIME ARGS (freeze="backbone",
+        # default): their matmul layouts gain nothing from baking, while
+        # constant-folding the giant FC literals was the bulk of a 441 s
+        # cold compile (round-2 bench). freeze="all"/"none" for A/B.
+        import flax
+
+        allvars = flax.core.unfreeze(_precast_kernels(cfg, variables))
+        params = dict(allvars["params"])
+        other = {k: v for k, v in allvars.items() if k != "params"}
+        baked_keys = {
+            "all": set(params),
+            "backbone": {"backbone", "neck"},
+            "none": set(),
+        }[freeze]
+        const_p = {k: v for k, v in params.items() if k in baked_keys}
+        self._live = {k: v for k, v in params.items() if k not in baked_keys}
         self._fn = jax.jit(
-            lambda img, cam, shp, key: self.model.apply(
-                frozen, img, cam, shp, key
+            lambda live, img, cam, shp, key: self.model.apply(
+                {**other, "params": {**const_p, **live}},
+                img, cam, shp, key,
             )
         )
 
@@ -96,7 +112,7 @@ class InferenceSession:
                 self.mesh,
             )
         return self._fn(
-            jnp.asarray(images), jnp.asarray(cam),
+            self._live, jnp.asarray(images), jnp.asarray(cam),
             jnp.asarray(shapes), jax.random.PRNGKey(seed),
         )
 
@@ -106,13 +122,15 @@ def init_inference(
     checkpoint: Optional[str] = None,
     batch_size: int = 1,
     mesh=None,
+    freeze: str = "backbone",
 ) -> InferenceSession:
     cfg = get_config(config) if isinstance(config, str) else config
     h, w = cfg.data.pad_height, cfg.data.pad_width
     _, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
     if checkpoint:
         variables = load_weights(cfg, variables, checkpoint)
-    return InferenceSession(cfg, variables, batch_size, mesh=mesh)
+    return InferenceSession(cfg, variables, batch_size, mesh=mesh,
+                            freeze=freeze)
 
 
 def load_weights(cfg: MonoRUnConfig, variables, checkpoint: str):

@@ -194,6 +194,12 @@ class TrainCfg:
     max_pos: int = 128              # static positive-RoI capacity
     dense_size: int = 28
     calib_scoring: bool = True
+    # GT-substitution head-isolation mode (monorun_roi_head.py:323-324,
+    # 357-361; config train_cfg debug, configs/kitti_multiclass.py:163,194):
+    # replace predicted dims (and, with lidar supervision, the NOC map +
+    # proj_logstd) with their targets so downstream losses (projection,
+    # PnP calibration, score) are driven by ground-truth-quality inputs
+    debug: bool = False
     # schedule
     optimizer: str = "adamw"
     lr: float = 2.0e-4

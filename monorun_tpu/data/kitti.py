@@ -181,7 +181,23 @@ class KITTI3DDataset:
         output for one image.
         """
         det_annos = []
+        empty = dict(
+            name=np.asarray([], dtype=object),
+            truncated=np.zeros(0, np.int8),
+            occluded=np.zeros(0, np.int8),
+            alpha=np.zeros(0, np.float32),
+            bbox=np.zeros((0, 4), np.float32),
+            dimensions=np.zeros((0, 3), np.float32),
+            location=np.zeros((0, 3), np.float32),
+            rotation_y=np.zeros(0, np.float32),
+            score=np.zeros(0, np.float32),
+        )
         for idx, res in enumerate(results):
+            if res is None:
+                # a distributed shard can under-cover (tail drop / missing
+                # index): emit an empty annotation instead of crashing
+                det_annos.append({k: v.copy() for k, v in empty.items()})
+                continue
             ann = self.get_ann(idx)
             keep = np.asarray(res["valid"], bool)
             b2d = np.asarray(res["bboxes_2d"], np.float32)[keep]

@@ -489,6 +489,10 @@ def _train_forward(
         dim_enc, dim_targets, beta=1.0,
         weight=flat_pos_valid[:, None].astype(jnp.float32),
     )
+    if tr.debug:
+        # head-isolation mode: downstream consumers see GT dims
+        # (monorun_roi_head.py:323-324)
+        dim_enc = dim_targets
 
     noc_feats = multilevel_roi_align_auto(
         feats[: len(cfg.noc_head.featmap_strides)], pos_rois,
@@ -502,6 +506,7 @@ def _train_forward(
         rng=rng_noc,
     )
 
+    noc_pred, proj_logstd_enc = nout.noc_pred, nout.proj_logstd
     if cfg.noc_head.with_lidar_loss:
         oc_enc = encode_noc_points(
             batch["oc"],
@@ -527,12 +532,21 @@ def _train_forward(
                 * flat_pos_valid[:, None, None, None]
             ),
         )
+        if tr.debug:
+            # head-isolation mode: substitute GT NOC targets and a
+            # target-weight-derived logstd (monorun_roi_head.py:357-361:
+            # proj_logstd = log(1/clamp(noc_weights)) on both channels)
+            noc_pred = tg.reshape(-1, dsz, dsz, 3)
+            w_dbg = jnp.clip(wg.reshape(-1, dsz, dsz, 1), 1e-6, 1e6)
+            proj_logstd_enc = jnp.broadcast_to(
+                -jnp.log(w_dbg), (*noc_pred.shape[:3], 2)
+            )
 
     # ---- decode + projection loss -----------------------------------------
     noc_coder = NOCCoder(cfg.noc_head.noc_means, cfg.noc_head.noc_stds)
     dims, _ = dim_coder.decode(dim_enc, None, flat_pos_labels)
     coords_3d, _ = noc_coder.decode(
-        nout.noc_pred, None, dims, None, flip_pos
+        noc_pred, None, dims, None, flip_pos
     )
     dsz = cfg.noc_head.dense_size
     coords_2d_roi = roi_grid_centers(pos_rois, (dsz, dsz))
@@ -575,7 +589,7 @@ def _train_forward(
         flat_pos_valid[:, None, None, None], proj_error.shape
     ).astype(jnp.float32)
     loss_proj, new_ema = robust_kl_loss(
-        proj_error, 0, nout.proj_logstd, loss_ema,
+        proj_error, 0, proj_logstd_enc, loss_ema,
         weight=w_proj, momentum=cfg.projection_head.loss_momentum,
         training=True,
     )
@@ -583,7 +597,7 @@ def _train_forward(
 
     # ---- pose (PnP, no grad) + calibration loss ---------------------------
     proj_logstd_dec = proj_coder.decode_logstd(
-        nout.proj_logstd, None, distances
+        proj_logstd_enc, None, distances
     )
     istd = jnp.exp(-proj_logstd_dec) / cfg.pose_head.std_scale
     border = cfg.pose_head.allowed_border

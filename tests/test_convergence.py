@@ -21,6 +21,8 @@ from monorun_tpu.train import create_train_state, train_step
 from monorun_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from monorun_tpu.utils.synthetic import synthetic_train_batch
 
+pytestmark = pytest.mark.heavy  # full-graph compile: run via -m heavy
+
 N_STEPS = 120
 N_SCENES = 2  # distinct synthetic batches cycled through
 
@@ -99,6 +101,12 @@ def test_supervised_terms_decrease(trajectory):
         assert end < start, (term, start, end)
     assert all(np.isfinite(hist["mean_iou"])), "mean_iou non-finite"
     assert min(hist["mean_iou"]) >= 0.0
+    # zap_nonfinite is failure CONTAINMENT, not an excuse: a where-grad
+    # trap regression would silently zero leaves and train worse. The
+    # counter must stay at zero over the whole trajectory.
+    assert max(hist["nonfinite_grad_leaves"]) == 0, (
+        hist["nonfinite_grad_leaves"]
+    )
 
 
 def test_save_resume_continue_is_exact(trajectory):

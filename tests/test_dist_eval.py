@@ -173,3 +173,37 @@ def test_run_eval_distributed_assembles_all_indices(tmp_path, monkeypatch):
     assert all(r is not None for r in captured["results"])
     assert len(captured["results"]) == len(ds)
     assert isinstance(ap, dict)
+
+
+def test_format_results_tolerates_missing_entries(tmp_path):
+    """A None slot (under-covered distributed shard, dropped tail) must
+    become an empty annotation, not a TypeError — and still evaluate."""
+    from fixtures import make_mini_kitti
+
+    from monorun_tpu.data.kitti import KITTI3DDataset
+
+    root = str(tmp_path / "kitti")
+    make_mini_kitti(root, n_images=3)
+    cfg = get_config("kitti_multiclass")
+    ds = KITTI3DDataset(
+        root, "train_list.txt", classes=cfg.data.classes, with_labels=True
+    )
+    M = 4
+    full = dict(
+        bboxes_2d=np.asarray([[10.0, 10, 80, 60]] * M, np.float32),
+        labels=np.zeros(M, np.int64),
+        bboxes_3d=np.tile(
+            np.asarray([[3.9, 1.5, 1.6, 1.0, 1.0, 15.0, 0.1, 0.9]],
+                       np.float32), (M, 1),
+        ),
+        valid=np.asarray([True, True, False, False]),
+    )
+    results = [full, None, full]          # index 1 missing
+    annos = ds.format_results(results)
+    assert len(annos) == 3
+    assert len(annos[1]["name"]) == 0
+    assert annos[1]["bbox"].shape == (0, 4)
+    assert len(annos[0]["name"]) == 2
+    # the full evaluate path must also survive the hole
+    ap = ds.evaluate(results, print_summary=False)
+    assert isinstance(ap, dict)

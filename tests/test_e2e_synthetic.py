@@ -1,0 +1,186 @@
+"""End-to-end closure: train -> full inference path -> KITTI AP.
+
+The reference's only correctness oracle is train -> test.py -> KITTI AP
+(/root/reference/tools/test.py:208-217, kitti3d_dataset.py:198-228). No
+KITTI data or released checkpoints exist in this environment, so this is
+the in-env analogue: memorize a handful of geometrically-consistent
+synthetic scenes (utils/synthetic.synthetic_scene_batch — image texture
+IS the NOC encoding, LiDAR-style sparse supervision is pinhole-exact),
+then push the TRAINED weights through the full fixed-shape inference
+program (RPN -> R-CNN -> MC global head -> NOC -> PnP -> score -> 3D
+NMS) and the full KITTI evaluator, and assert non-trivial 3D AP.
+
+This is the only in-env test that can catch a sign/weighting error in
+loss_calib/loss_score or a train/inference skew in the NOC/PnP plumbing:
+every other probe stops at "losses fall".
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monorun_tpu.config import get_config
+from monorun_tpu.train import create_train_state, train_step
+from monorun_tpu.utils.synthetic import synthetic_scene_batch
+
+pytestmark = pytest.mark.heavy  # full-graph compiles + a training run
+
+HW = (96, 192)
+N_STEPS = 240
+B = 2
+N_SCENES = 2          # 2 batches x 2 images = 4 fixed images
+
+
+def nano_config():
+    """kitti_car_lidar_supv shrunk for a 1-core-CPU training run: depth-26
+    backbone, 64-channel neck, narrow FCs. Graph STRUCTURE (losses, heads,
+    PnP, schedule) is the flagship one."""
+    cfg = get_config("kitti_car_lidar_supv")
+    return dataclasses.replace(
+        cfg,
+        compute_dtype="float32",
+        backbone=dataclasses.replace(cfg.backbone, depth=26),
+        neck=dataclasses.replace(cfg.neck, out_channels=64),
+        rpn=dataclasses.replace(
+            cfg.rpn, nms_pre=48, nms_post=48, train_nms_pre=48,
+            feat_channels=64,
+        ),
+        bbox_head=dataclasses.replace(
+            cfg.bbox_head, in_channels=64, fc_out_channels=256,
+        ),
+        global_head=dataclasses.replace(
+            cfg.global_head, in_channels=64, fc_out_channels=256,
+            mc_samples=4,
+        ),
+        noc_head=dataclasses.replace(
+            cfg.noc_head, in_channels=64, conv_out_channels=64,
+            carafe_compressed_channels=16,
+        ),
+        score_head=dataclasses.replace(
+            cfg.score_head, reg_fc_out_channels=256,
+            pose_fc_out_channels=256, fc_out_channels=64,
+        ),
+        pose_head=dataclasses.replace(
+            cfg.pose_head, ransac_hypotheses=8, lm_iters=5,
+        ),
+        train=dataclasses.replace(
+            cfg.train, rcnn_num_samples=32, max_pos=8, rpn_num_samples=64,
+            lr=1.0e-3, warmup_iters=40, grad_clip_norm=35.0,
+        ),
+        test=dataclasses.replace(
+            cfg.test, rpn_nms_pre=48, rpn_nms_post=48, max_per_img=8,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = nano_config()
+    model, state, tx = create_train_state(
+        cfg, jax.random.PRNGKey(0), total_steps=N_STEPS, image_shape=HW
+    )
+    batches = [
+        synthetic_scene_batch(
+            cfg, B, HW, num_gt=4, num_pts=256, seed=40 + i, n_objects=2
+        )
+        for i in range(N_SCENES)
+    ]
+    jbatches = [jax.tree.map(jnp.asarray, b) for b in batches]
+    step = jax.jit(lambda s, b, r: train_step(model, tx, s, b, r))
+    hist: dict = {}
+    for i in range(N_STEPS):
+        state, metrics = step(
+            state, jbatches[i % N_SCENES], jax.random.PRNGKey(5000 + i)
+        )
+        for k, v in metrics.items():
+            hist.setdefault(k, []).append(float(v))
+        if (
+            i >= 60
+            and np.mean(hist["mean_iou"][-8:]) > 0.55
+            and i >= 100
+        ):
+            break
+    return cfg, state, batches, hist
+
+
+def test_no_nonfinite_gradients_over_trajectory(trained):
+    """A where-grad trap regression would train slightly worse and pass
+    every loss assertion; the zap_nonfinite counter must stay at ZERO."""
+    _, _, _, hist = trained
+    assert max(hist["nonfinite_grad_leaves"]) == 0, (
+        hist["nonfinite_grad_leaves"]
+    )
+
+
+def test_training_reaches_valid_3d_poses(trained):
+    """mean_iou (PnP pose vs GT 3D IoU on train RoIs) must leave zero and
+    reach real overlap — the signal round-2's probe never produced."""
+    _, _, _, hist = trained
+    assert all(np.isfinite(hist["total_loss"]))
+    assert float(np.mean(hist["mean_iou"][-8:])) > 0.3, (
+        hist["mean_iou"][-10:]
+    )
+
+
+def test_trained_model_scores_nontrivial_kitti_ap(trained):
+    from monorun_tpu.apis.inference import InferenceSession
+    from monorun_tpu.eval.kitti_eval import kitti_eval
+
+    cfg, state, batches, _ = trained
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    sess = InferenceSession(cfg, variables, batch_size=B, freeze="none")
+
+    gt_annos, det_annos = [], []
+    for b in batches:
+        det = sess.run(b["images"], b["cam"], b["img_shapes"], seed=9)
+        for i in range(B):
+            # GT annotation (KITTI devkit schema)
+            ok = b["gt_valid"][i]
+            g3d = b["gt_bboxes_3d"][i][ok]
+            loc = g3d[:, 3:6]
+            gt_annos.append(
+                dict(
+                    name=np.asarray(["Car"] * len(g3d)),
+                    truncated=np.zeros(len(g3d)),
+                    occluded=np.zeros(len(g3d), np.int32),
+                    alpha=g3d[:, 6] - np.arctan2(loc[:, 0], loc[:, 2]),
+                    bbox=b["gt_boxes"][i][ok],
+                    dimensions=g3d[:, :3],          # lhw
+                    location=loc,
+                    rotation_y=g3d[:, 6],
+                    score=np.zeros(len(g3d)),
+                )
+            )
+            # detections (format_results semantics, cam_t_vec = 0 here)
+            keep = np.asarray(det.valid[i])
+            b3d = np.asarray(det.bboxes_3d[i])[keep]
+            b2d = np.asarray(det.bboxes_2d[i])[keep]
+            order = np.argsort(-b3d[:, 7])
+            b3d, b2d = b3d[order], b2d[order]
+            dloc = b3d[:, 3:6]
+            det_annos.append(
+                dict(
+                    name=np.asarray(["Car"] * len(b3d)),
+                    truncated=np.full(len(b3d), -1, np.int8),
+                    occluded=np.full(len(b3d), -1, np.int8),
+                    alpha=b3d[:, 6] - np.arctan2(dloc[:, 0], dloc[:, 2]),
+                    bbox=b2d,
+                    dimensions=b3d[:, :3],
+                    location=dloc,
+                    rotation_y=b3d[:, 6],
+                    score=b3d[:, 7],
+                )
+            )
+
+    summary, ap = kitti_eval(
+        gt_annos, det_annos, ("Car",), eval_types=("bbox", "bev", "3d")
+    )
+    print(summary)
+    # memorized scenes: 2D detection must be near-perfect, 3D localization
+    # clearly non-trivial under the official protocol
+    assert ap["Car_bbox_0.70_moderate"] > 60.0, ap
+    assert ap["Car_3d_0.50_moderate"] > 30.0, ap
+    assert ap["Car_bev_0.50_moderate"] > 30.0, ap

@@ -11,6 +11,8 @@ from monorun_tpu.config import get_config
 from monorun_tpu.models.detector import MonoRUn, init_detector
 
 
+pytestmark = pytest.mark.heavy  # full-graph compile: run via -m heavy
+
 def tiny_config():
     cfg = get_config("kitti_multiclass")
     cfg = dataclasses.replace(

@@ -14,6 +14,8 @@ from monorun_tpu.train import create_train_state, train_step
 from monorun_tpu.utils.synthetic import synthetic_train_batch
 
 
+pytestmark = pytest.mark.heavy  # full-graph compile: run via -m heavy
+
 def tiny_train_config(lidar=False):
     name = "kitti_multiclass_lidar_supv" if lidar else "kitti_multiclass"
     cfg = get_config(name)
@@ -120,3 +122,24 @@ def test_data_parallel_8device_mesh(setup):
     # params remain replicated after the update
     k = new_state.params["neck"]["lateral0"]["kernel"]
     assert k.sharding.is_fully_replicated
+
+
+def test_debug_gt_substitution_mode(setup):
+    """cfg.train.debug swaps predicted dims/NOC/logstd for targets
+    (monorun_roi_head.py:323-324, 357-361): the projection loss must then
+    be driven by GT-quality inputs (much smaller than the predicted-path
+    loss at init) and everything stays finite."""
+    cfg, model, state, tx, batch = setup
+    dcfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, debug=True)
+    )
+    dmodel = type(model)(dcfg)
+    _, m_dbg = train_step(dmodel, tx, state, batch, jax.random.PRNGKey(4))
+    _, m_ref = train_step(model, tx, state, batch, jax.random.PRNGKey(4))
+    for k, v in m_dbg.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    # with GT NOC + dims the reprojection of the coordinates against the
+    # RoI pixel grid is near-consistent; the untrained prediction path is
+    # wildly off
+    assert float(m_dbg["mean_iou"]) >= float(m_ref["mean_iou"])
+    assert float(m_dbg["loss_dim"]) == float(m_ref["loss_dim"])
