@@ -24,10 +24,10 @@ from monorun_tpu.utils.compile_cache import enable_compilation_cache
 enable_compilation_cache()
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-# which param subtrees are baked into the executable as constants
-# ("backbone" = backbone+neck only, the serving default; "all"; "none")
+# which param subtrees are baked into the executable as constants;
+# "none" is the serving default (same fps as baking, minutes less compile)
 FREEZE = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
-    "MONORUN_FREEZE", "backbone"
+    "MONORUN_FREEZE", "none"
 )
 ITERS = 20
 
@@ -71,9 +71,8 @@ def main():
     # n times with a data dependency between iterations; one host fetch
     # closes the measurement. Slope between two trip counts removes the
     # fixed dispatch/fetch overhead.
-    # Backbone/neck weights are closed over (compile-time constants, which
-    # frees conv-kernel layout assignment); head weights stay runtime args
-    # — the same FREEZE split the serving path (InferenceSession) uses.
+    # FREEZE controls constants-vs-args, matching the serving path
+    # (InferenceSession); the measured default is "none" — see inference.py.
     import flax
 
     allvars = flax.core.unfreeze(variables)

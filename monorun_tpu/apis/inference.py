@@ -59,7 +59,7 @@ class InferenceSession:
     """
 
     def __init__(self, cfg: MonoRUnConfig, variables, batch_size: int = 1,
-                 mesh=None, freeze: str = "backbone"):
+                 mesh=None, freeze: str = "none"):
         self.cfg = cfg
         self.model = MonoRUn(cfg)
         self.mesh = mesh
@@ -69,15 +69,14 @@ class InferenceSession:
             variables = replicate(variables, mesh)
         self.variables = variables
         self.batch_size = batch_size
-        # Backbone/neck weights are CLOSED OVER, not traced: for a serving
-        # session they are fixed, and baking them into the executable frees
-        # XLA's layout assignment from the default parameter layouts.
-        # Measured 2.4x end-to-end on v5e (26.2 -> 10.9 ms/step for
-        # ResNet-101+FPN at batch 4) vs passing them as runtime arguments.
-        # Head FC/conv weights stay RUNTIME ARGS (freeze="backbone",
-        # default): their matmul layouts gain nothing from baking, while
-        # constant-folding the giant FC literals was the bulk of a 441 s
-        # cold compile (round-2 bench). freeze="all"/"none" for A/B.
+        # freeze selects which param subtrees are CLOSED OVER as
+        # executable constants vs passed as runtime args. Round-2 measured
+        # +2.4x from baking the backbone, but the space-to-depth stem and
+        # later kernel work erased that edge: round-3 A/B on v5e at batch
+        # 8 reads 88.8 / 88.8 / 89.3 fps for none / backbone / all while
+        # cold compile reads 98.7 / 281.9 / 441.6 s — constant-baking now
+        # buys nothing and costs minutes of every fresh-environment start,
+        # so the default is "none". "backbone"/"all" remain for A/B.
         import flax
 
         allvars = flax.core.unfreeze(_precast_kernels(cfg, variables))
@@ -122,7 +121,7 @@ def init_inference(
     checkpoint: Optional[str] = None,
     batch_size: int = 1,
     mesh=None,
-    freeze: str = "backbone",
+    freeze: str = "none",
 ) -> InferenceSession:
     cfg = get_config(config) if isinstance(config, str) else config
     h, w = cfg.data.pad_height, cfg.data.pad_width

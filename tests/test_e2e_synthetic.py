@@ -29,9 +29,14 @@ from monorun_tpu.utils.synthetic import synthetic_scene_batch
 pytestmark = pytest.mark.heavy  # full-graph compiles + a training run
 
 HW = (96, 192)
-N_STEPS = 240
+N_STEPS = 420
 B = 2
-N_SCENES = 2          # 2 batches x 2 images = 4 fixed images
+N_SCENES = 6          # 6 batches x 2 images = 12 fixed images, 24 GT.
+# 24 GT matters: the devkit R40 protocol derives score thresholds from
+# TP ranks, at most one per GT, and divides the precision sum by 40
+# (eval.py get_thresholds/get_mAP) — with G valid GT even PERFECT
+# detections score only min(G, 41)/40 * 100. 24 GT puts the ceiling at
+# 60 AP, high enough for a meaningful assertion.
 
 
 def nano_config():
@@ -97,11 +102,7 @@ def trained():
         )
         for k, v in metrics.items():
             hist.setdefault(k, []).append(float(v))
-        if (
-            i >= 60
-            and np.mean(hist["mean_iou"][-8:]) > 0.55
-            and i >= 100
-        ):
+        if i >= 240 and np.mean(hist["mean_iou"][-12:]) > 0.55:
             break
     return cfg, state, batches, hist
 
@@ -179,8 +180,9 @@ def test_trained_model_scores_nontrivial_kitti_ap(trained):
         gt_annos, det_annos, ("Car",), eval_types=("bbox", "bev", "3d")
     )
     print(summary)
-    # memorized scenes: 2D detection must be near-perfect, 3D localization
-    # clearly non-trivial under the official protocol
-    assert ap["Car_bbox_0.70_moderate"] > 60.0, ap
-    assert ap["Car_3d_0.50_moderate"] > 30.0, ap
-    assert ap["Car_bev_0.50_moderate"] > 30.0, ap
+    # 24 valid GT cap AP at 60 (see N_SCENES note). Memorized scenes:
+    # 2D detection must be near the ceiling, 3D localization clearly
+    # non-trivial under the official protocol.
+    assert ap["Car_bbox_0.70_moderate"] > 45.0, ap
+    assert ap["Car_3d_0.50_moderate"] > 20.0, ap
+    assert ap["Car_bev_0.50_moderate"] > 25.0, ap
