@@ -19,6 +19,34 @@ from ..ops.nms import NEG_INF, multiclass_nms
 Array = jnp.ndarray
 
 
+class TorchFlatDense(nn.Module):
+    """Dense over (n, A, C) RoI features with a torch-(C*H*W)-ordered kernel.
+
+    The kernel param keeps the exact converted-checkpoint shape
+    (C*A, F); it is RESHAPED to (C, A, F) at use so the contraction runs
+    on the channels-last activations directly. Transposing the
+    ACTIVATIONS to (n, C, A) instead (the old path) materialised two
+    NCHW relayout copies of the (8000, 7, 7, 256) tensor — 1.7 ms/step
+    at the proposal stage on v5e (trace: bitcast_select_fusion +
+    copy.3746).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:     # x: (n, A, C)
+        n, a, c = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (c * a, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k = kernel.reshape(c, a, self.features).astype(self.dtype)
+        return (
+            jnp.einsum("nac,caf->nf", x, k) + bias.astype(self.dtype)
+        )
+
+
 class BBoxHead(nn.Module):
     cfg: BBoxHeadConfig
     dtype: Any = jnp.float32
@@ -28,10 +56,9 @@ class BBoxHead(nn.Module):
         """roi_feats (n, 7, 7, C) -> (cls_logits (n, K+1), deltas (n, K*4))."""
         c = self.cfg
         x = roi_feats.astype(self.dtype)
-        # match torch flatten order (C, H, W) so converted fc weights line up
-        x = jnp.moveaxis(x, -1, 1).reshape(x.shape[0], -1)
-        x = nn.relu(nn.Dense(c.fc_out_channels, dtype=self.dtype,
-                             name="shared_fc0")(x))
+        x = x.reshape(x.shape[0], -1, x.shape[-1])          # (n, A, C)
+        x = nn.relu(TorchFlatDense(c.fc_out_channels, dtype=self.dtype,
+                                   name="shared_fc0")(x))
         x = nn.relu(nn.Dense(c.fc_out_channels, dtype=self.dtype,
                              name="shared_fc1")(x))
         cls_logits = nn.Dense(c.num_classes + 1, dtype=self.dtype,

@@ -30,6 +30,23 @@ from ..config import GlobalHeadConfig
 Array = jnp.ndarray
 
 
+def _fast_key(key):
+    """Threefry key -> rbg key for bulk mask generation.
+
+    Threefry bit generation for the two (n, 50, 1024) MC masks profiled
+    1.68 ms/step on v5e (hlo_stats fusion.177 — pure counter-mode hashing
+    on the VPU); XLA's hardware RngBitGenerator behind the 'rbg' impl is
+    ~10x cheaper. Deterministic in the input key; dropout masks only need
+    iid Bernoulli quality, not cryptographic separation.
+    """
+    kd = key
+    if hasattr(key, "dtype") and jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    return jax.random.wrap_key_data(
+        jnp.concatenate([kd.reshape(-1), kd.reshape(-1)]), impl="rbg"
+    )
+
+
 def _dropout_mask(key, keep: float, shape, dtype):
     """Pre-scaled {0, 1/keep} dropout mask from uint8 draws.
 
@@ -124,15 +141,15 @@ class GlobalHead(nn.Module):
         S = c.mc_samples
         P = jnp.einsum("nca,caf->ncf", xt, k0)            # (n, C, F)
         m2d = jnp.where(
-            jax.random.bernoulli(r2d, keep2d, (n, S, ch)),
+            jax.random.bernoulli(_fast_key(r2d), keep2d, (n, S, ch)),
             jnp.asarray(1.0 / keep2d, self.dtype),
             jnp.zeros((), self.dtype),
         )                          # pre-scaled: folds the /keep2d rescale
         pre0 = jnp.einsum("nsc,ncf->nsf", m2d, P) + b0
         h = nn.relu(pre0)                                 # (n, S, F)
-        h = h * _dropout_mask(r0, keep, h.shape, self.dtype)
+        h = h * _dropout_mask(_fast_key(r0), keep, h.shape, self.dtype)
         h = nn.relu(fc1(h))
-        h = h * _dropout_mask(r1, keep, h.shape, self.dtype)
+        h = h * _dropout_mask(_fast_key(r1), keep, h.shape, self.dtype)
         out = fc_reg(h).astype(jnp.float32)               # (n, S, D)
 
         mean = jnp.mean(out, axis=1)
