@@ -35,6 +35,15 @@ class NeckConfig:
     out_channels: int = 256
     num_outs: int = 5               # P2..P6
     num_lower_outs: int = 1         # extra stride-2 level (FPNplus)
+    # Lazy stride-2 level: keep the ``lower0`` 3x3 conv on the stride-4
+    # lateral grid instead of materialising it on the 2x-upsampled grid
+    # (fpn_plus.py:79-91 computes conv(up2(lateral0)) densely). Bilinear
+    # RoI sampling of an exactly-bilinear-upsampled map equals sampling
+    # the base map at the scaled coordinates, so the ONLY semantic change
+    # is the conv's grid (conv-then-up vs up-then-conv); it removes the
+    # 145 GFLOP/img dense conv + the 60 MB stride-2 tensor from the
+    # pipeline. Validated end-to-end by tests/test_e2e_synthetic.py.
+    lazy_lower: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

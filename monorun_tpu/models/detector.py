@@ -57,6 +57,21 @@ def _dtype(cfg: MonoRUnConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _align_strides(cfg: MonoRUnConfig, strides):
+    """Sampling strides for the RoI aligns.
+
+    With the lazy FPN lower level (NeckConfig.lazy_lower) the declared
+    stride-2 level is physically a stride-4 map; RoI-to-level ASSIGNMENT
+    is unchanged (assign_fpn_levels uses finest_scale only), and sampling
+    it at stride 4 is exact w.r.t. the reference's bilinear 2x upsample
+    (fpn_plus.py:79-91) because bilinear taps of up2(x) reproduce x's own
+    interpolant.
+    """
+    if cfg.neck.lazy_lower and strides and strides[0] == 2:
+        return (4,) + tuple(strides[1:])
+    return tuple(strides)
+
+
 class MonoRUn(nn.Module):
     """Flax module holding all sub-networks."""
 
@@ -75,6 +90,7 @@ class MonoRUn(nn.Module):
             out_channels=cfg.neck.out_channels,
             num_outs=cfg.neck.num_outs,
             num_lower_outs=cfg.neck.num_lower_outs,
+            lazy_lower=cfg.neck.lazy_lower,
             dtype=dt,
             name="neck",
         )
@@ -142,7 +158,7 @@ class MonoRUn(nn.Module):
         pyr = prepare_pyramid(feats[: len(cfg.bbox_head.featmap_strides)])
         roi_feats = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], rois,
-            cfg.bbox_head.featmap_strides, (7, 7),
+            _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
             cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
         )
         cls_logits, deltas = self.bbox_head(roi_feats)
@@ -170,7 +186,7 @@ class MonoRUn(nn.Module):
         rng_mc, rng_pnp = jax.random.split(rng)
         reg_feats = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
-            cfg.bbox_head.featmap_strides, (7, 7),
+            _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
             cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
         )
         gout = self.global_head(reg_feats, train=False, rng=rng_mc)
@@ -184,7 +200,7 @@ class MonoRUn(nn.Module):
         # ---- NOC head -----------------------------------------------------
         noc_feats = multilevel_roi_align_auto(
             feats[: len(cfg.noc_head.featmap_strides)], det_rois,
-            cfg.noc_head.featmap_strides,
+            _align_strides(cfg, cfg.noc_head.featmap_strides),
             (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
             cfg.noc_head.finest_scale, max_ratio=2, tile_h=32, pyramid=pyr,
         )
@@ -418,7 +434,7 @@ def _train_forward(
     pyr = prepare_pyramid(feats[: len(cfg.bbox_head.featmap_strides)])
     roi_feats = multilevel_roi_align_auto(
         feats[: len(cfg.bbox_head.featmap_strides)], rois,
-        cfg.bbox_head.featmap_strides, (7, 7),
+        _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
         cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
     )
     cls_logits, deltas = self.bbox_head(roi_feats)
@@ -476,7 +492,7 @@ def _train_forward(
 
     reg_feats = multilevel_roi_align_auto(
         feats[: len(cfg.bbox_head.featmap_strides)], pos_rois,
-        cfg.bbox_head.featmap_strides, (7, 7),
+        _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
         cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
     )
     gout = self.global_head(reg_feats, train=True, rng=rng_gh)
@@ -496,7 +512,7 @@ def _train_forward(
 
     noc_feats = multilevel_roi_align_auto(
         feats[: len(cfg.noc_head.featmap_strides)], pos_rois,
-        cfg.noc_head.featmap_strides,
+        _align_strides(cfg, cfg.noc_head.featmap_strides),
         (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
         cfg.noc_head.finest_scale, max_ratio=2, tile_h=32, pyramid=pyr,
     )

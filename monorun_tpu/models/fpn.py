@@ -36,6 +36,11 @@ class FPNplus(nn.Module):
     out_channels: int = 256
     num_outs: int = 5            # P2..P6
     num_lower_outs: int = 1      # stride-2 extras
+    # lazy_lower: emit the lower conv on the stride-4 lateral grid (no 2x
+    # upsample). Exact for every bilinear-resampling consumer (RoIAlign
+    # taps of up2(x) == taps of x at halved coords) as long as callers
+    # sample it with stride 4; only the conv's input grid changes.
+    lazy_lower: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,12 +58,15 @@ class FPNplus(nn.Module):
 
         outs_lower = []
         for i in range(self.num_lower_outs):
-            up = _upsample_bilinear(
-                laterals[0], 2 ** (self.num_lower_outs - i)
-            )
+            if self.lazy_lower:
+                src = laterals[0]
+            else:
+                src = _upsample_bilinear(
+                    laterals[0], 2 ** (self.num_lower_outs - i)
+                )
             outs_lower.append(
                 nn.Conv(self.out_channels, (3, 3), padding=1,
-                        dtype=self.dtype, name=f"lower{i}")(up)
+                        dtype=self.dtype, name=f"lower{i}")(src)
             )
 
         outs = [

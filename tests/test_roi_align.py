@@ -190,3 +190,58 @@ def test_tiled_matches_gather_noc_shape():
         max_ratio=2, tile_hw=(32, 44),
     )
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(ref), atol=2e-4)
+
+
+def test_lazy_lower_sampling_equivalence():
+    """Stride-4 sampling of the base map vs stride-2 sampling of up2(base).
+
+    The lazy FPN lower level (NeckConfig.lazy_lower) samples the stride-4
+    conv output directly where the reference samples its bilinear 2x
+    upsample. On any locally-LINEAR field the two interpolants coincide,
+    so equality there verifies all coordinate bookkeeping (scale, the
+    aligned -0.5 offset, bin geometry). On general fields they differ only
+    by the upsample's knot smoothing — second-order in the feature's
+    local curvature (the half-pixel up2 re-interpolates across base-cell
+    kinks) — bounded here on unit-normal noise.
+    """
+    import jax
+
+    rng = np.random.default_rng(7)
+    B, C = 2, 8
+    yy, xx = np.meshgrid(
+        np.arange(24, dtype=np.float32), np.arange(32, dtype=np.float32),
+        indexing="ij",
+    )
+    linear = np.stack([yy, xx, 2 * yy - 3 * xx + 1, yy + xx], -1)
+    linear = np.broadcast_to(linear, (B, 24, 32, 4)).astype(np.float32)
+    noise = rng.normal(size=(B, 24, 32, C)).astype(np.float32)
+    rois = np.array(
+        [
+            [0, 12.0, 10.0, 50.0, 40.0],
+            [1, 30.5, 17.25, 95.0, 80.5],
+            [0, 8.0, 8.0, 30.0, 60.0],
+        ],
+        np.float32,
+    )  # image coords, interior of the 128x96 px extent
+
+    def pair(base):
+        up = jax.image.resize(
+            jnp.asarray(base),
+            (B, 2 * base.shape[1], 2 * base.shape[2], base.shape[-1]),
+            method="bilinear",
+        )
+        out_up = roi_align(
+            up, jnp.asarray(rois), (7, 7), spatial_scale=0.5,
+            sampling_ratio=2,
+        )
+        out_base = roi_align(
+            jnp.asarray(base), jnp.asarray(rois), (7, 7),
+            spatial_scale=0.25, sampling_ratio=2,
+        )
+        return np.asarray(out_up), np.asarray(out_base)
+
+    a, b = pair(linear)
+    np.testing.assert_allclose(a, b, atol=1e-4)  # exact modulo fp
+    a, b = pair(noise)
+    assert np.abs(a - b).max() < 0.5  # second-order smoothing bound
+    assert np.abs(a - b).mean() < 0.08

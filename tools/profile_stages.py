@@ -20,6 +20,7 @@ import numpy as np
 
 from monorun_tpu.coders import DimCoder, NOCCoder, ProjErrorCoder
 from monorun_tpu.config import get_config
+from monorun_tpu.models.detector import _align_strides
 from monorun_tpu.models import init_detector
 from monorun_tpu.models.bbox_head import get_det_bboxes
 from monorun_tpu.models.global_head import slice_pred
@@ -79,7 +80,7 @@ def main():
         rois, P = _mk_rois(props)
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], rois,
-            cfg.bbox_head.featmap_strides, (7, 7),
+            _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
             cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
         return feats, rf
 
@@ -88,7 +89,7 @@ def main():
         rois, P = _mk_rois(props)
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], rois,
-            cfg.bbox_head.featmap_strides, (7, 7),
+            _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
             cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
         cls_logits, deltas = m.bbox_head(rf)
         det = jax.vmap(lambda r, cl, dl, vv: get_det_bboxes(
@@ -111,7 +112,7 @@ def main():
         feats, det_rois, flat_labels = _dets(m, x)
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
-            cfg.bbox_head.featmap_strides, (7, 7),
+            _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
             cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
         gout = m.global_head(rf, train=False, rng=key)
         dim_enc, dim_var_enc, latent, latent_var = slice_pred(
@@ -126,7 +127,7 @@ def main():
         feats, det_rois, flat_labels = _dets(m, x)
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
-            cfg.bbox_head.featmap_strides, (7, 7),
+            _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
             cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
         gout = m.global_head(rf, train=False, rng=key)
         dim_enc, dim_var_enc, latent, latent_var = slice_pred(
@@ -137,7 +138,7 @@ def main():
         ).decode(dim_enc, dim_var_enc, flat_labels)
         nf = multilevel_roi_align_auto(
             feats[: len(cfg.noc_head.featmap_strides)], det_rois,
-            cfg.noc_head.featmap_strides,
+            _align_strides(cfg, cfg.noc_head.featmap_strides),
             (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
             cfg.noc_head.finest_scale, max_ratio=2, tile_h=32)
         flip = jnp.zeros((B * M,), bool)

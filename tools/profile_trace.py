@@ -59,35 +59,39 @@ def main():
     from xprof.convert import raw_to_tool_data
 
     data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplanes[-1]], "framework_op_stats", {"tqx": "out:json"}
+        [xplanes[-1]], "hlo_stats", {"tqx": "out:json"}
     )
     tbl = json.loads(data) if isinstance(data, (str, bytes)) else data
-    rows = tbl["table"]["rows"]
-    cols = [c["label"] for c in tbl["table"]["cols"]]
-    i_name = cols.index("Operation")
-    i_self = cols.index("Total self time (us)")
-    i_cat = cols.index("Category") if "Category" in cols else None
+    if isinstance(tbl, list):
+        tbl = tbl[0]
+    cols = [c["label"] for c in tbl["cols"]]
+    iN = cols.index("HLO op name")
+    iF = cols.index("Framework op name")
+    iS = cols.index("Total self time (us)")
+    iC = cols.index("HLO op category")
+    iB = cols.index("Bound by")
     entries = []
-    for r in rows:
-        c = r["c"]
+    for r in tbl["rows"]:
+        c = [x["v"] if x else None for x in r["c"]]
         entries.append((
-            float(c[i_self]["v"]), str(c[i_name]["v"]),
-            str(c[i_cat]["v"]) if i_cat is not None else "?",
+            float(c[iS]), str(c[iC]), str(c[iB]),
+            str(c[iN]), str(c[iF]),
         ))
     entries.sort(reverse=True)
     total = sum(e[0] for e in entries)
     print(f"total self time: {total / 1e3 / 3:.2f} ms/step (3 steps)")
-    print(f"{'self ms/step':>12}  {'%':>5}  category / op")
-    for self_us, name, cat in entries[:TOP_N]:
-        print(f"{self_us / 1e3 / 3:12.3f}  {100 * self_us / total:5.1f}"
-              f"  [{cat}] {name[:90]}")
+    for self_us, cat, bound, name, fw in entries[:TOP_N]:
+        print(f"{self_us / 1e3 / 3:9.3f}ms {100 * self_us / total:5.1f}%"
+              f" [{cat:>16}|{bound:>8}] {name[:32]} :: {fw[:60]}")
 
-    by_cat = {}
-    for self_us, name, cat in entries:
-        by_cat[cat] = by_cat.get(cat, 0.0) + self_us
-    print("\nby category (ms/step):")
-    for cat, us in sorted(by_cat.items(), key=lambda kv: -kv[1]):
-        print(f"{us / 1e3 / 3:12.3f}  {cat}")
+    import collections
+
+    agg = collections.Counter()
+    for self_us, cat, bound, name, fw in entries:
+        agg["/".join(fw.split("/")[1:3])[:48]] += self_us
+    print("\nby framework-op group (ms/step):")
+    for k, v in agg.most_common(25):
+        print(f"{v / 1e3 / 3:9.3f}  {k}")
 
 
 if __name__ == "__main__":
