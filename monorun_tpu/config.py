@@ -234,6 +234,13 @@ class TestCfg:
     score_thr: float = 0.05
     nms_iou_thr: float = 0.7
     max_per_img: int = 100
+    # 3D heads (MC global, NOC decoder, PnP, score) run on only the
+    # head_slots highest-2D-score detection slots; the tail is reported
+    # invalid. The reference runs these heads on the dynamic set of NMS
+    # survivors (monorun_roi_head.py simple_test) — usually well under
+    # 48 on KITTI — while fixed shapes would pay all max_per_img slots
+    # every frame. 0 = compute every slot (strict parity).
+    head_slots: int = 48
     nms_3d_thr: float = 0.01
     mult_2d_score: bool = True
     calib_scoring: bool = True

@@ -176,10 +176,22 @@ class MonoRUn(nn.Module):
         )                                           # (B, M, ...)
 
         det_labels = jnp.clip(det_labels, 0, cfg.bbox_head.num_classes - 1)
-        flat_labels = det_labels.reshape(B * M)
-        det_batch = jnp.repeat(jnp.arange(B, dtype=det_boxes.dtype), M)
+
+        # ---- head-slot bucketing -----------------------------------------
+        # NMS slots come out score-sorted (ops/nms.py:_nms_impl), so the
+        # top-K slice keeps the K best detections per image. The reference
+        # runs the 3D heads on the dynamic set of NMS survivors
+        # (monorun_roi_head.py:simple_test) — usually well under 48 on
+        # KITTI — while fixed shapes would otherwise pay all max_per_img
+        # slots every frame. head_slots=0 computes every slot.
+        K = tc.head_slots if 0 < tc.head_slots < M else M
+        hd_boxes = det_boxes[:, :K]
+        hd_labels = det_labels[:, :K]
+        hd_valid = det_valid[:, :K]
+        flat_labels = hd_labels.reshape(B * K)
+        det_batch = jnp.repeat(jnp.arange(B, dtype=det_boxes.dtype), K)
         det_rois = jnp.concatenate(
-            [det_batch[:, None], det_boxes.reshape(B * M, 4)], axis=1
+            [det_batch[:, None], hd_boxes.reshape(B * K, 4)], axis=1
         )
 
         # ---- global head (factored MC dropout) ---------------------------
@@ -204,7 +216,7 @@ class MonoRUn(nn.Module):
             (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
             cfg.noc_head.finest_scale, max_ratio=2, tile_h=32, pyramid=pyr,
         )
-        flip = jnp.zeros((B * M,), bool)
+        flip = jnp.zeros((B * K,), bool)
         nout = self.noc_head(
             noc_feats, latent, flat_labels, flip, train=False
         )
@@ -232,22 +244,22 @@ class MonoRUn(nn.Module):
         istd = jnp.exp(-proj_logstd) / cfg.pose_head.std_scale
 
         n_pts = dsz * dsz
-        shapes_per_det = jnp.repeat(img_shapes, M, axis=0)      # (BM, 2)
+        shapes_per_det = jnp.repeat(img_shapes, K, axis=0)      # (BK, 2)
         border = cfg.pose_head.allowed_border
         u_range = jnp.stack(
-            [jnp.full((B * M,), -border), shapes_per_det[:, 1] + border], -1
+            [jnp.full((B * K,), -border), shapes_per_det[:, 1] + border], -1
         )
         v_range = jnp.stack(
-            [jnp.full((B * M,), -border), shapes_per_det[:, 0] + border], -1
+            [jnp.full((B * K,), -border), shapes_per_det[:, 0] + border], -1
         )
         roi_heights = coords_2d_roi[:, -1, 0, 1] - coords_2d_roi[:, 0, 0, 1]
         ransac_thr = cfg.pose_head.epnp_ransac_thres_ratio * roi_heights
 
-        cams_per_det = jnp.repeat(cam_intrinsic, M, axis=0)
+        cams_per_det = jnp.repeat(cam_intrinsic, K, axis=0)
         pnp = pnp_uncert(
-            coords_2d_roi.reshape(B * M, n_pts, 2),
-            istd.reshape(B * M, n_pts, 2),
-            coords_3d.reshape(B * M, n_pts, 3),
+            coords_2d_roi.reshape(B * K, n_pts, 2),
+            istd.reshape(B * K, n_pts, 2),
+            coords_3d.reshape(B * K, n_pts, 3),
             cams_per_det,
             u_range,
             v_range,
@@ -281,15 +293,15 @@ class MonoRUn(nn.Module):
         scores_3d = jax.nn.sigmoid(logits)
         scores_3d = jnp.where(pnp.valid, scores_3d, 0.0)
         final_scores = (
-            det_scores.reshape(B * M) * scores_3d
+            det_scores[:, :K].reshape(B * K) * scores_3d
             if tc.mult_2d_score
             else scores_3d
         )
-        final_scores = jnp.where(det_valid.reshape(B * M), final_scores, 0.0)
+        final_scores = jnp.where(hd_valid.reshape(B * K), final_scores, 0.0)
 
         bboxes_3d = jnp.concatenate(
             [dims, pnp.t_vec, pnp.yaw, final_scores[:, None]], axis=1
-        ).reshape(B, M, 8)
+        ).reshape(B, K, 8)
 
         # ---- per-class rotated-BEV 3D NMS ---------------------------------
         # one fixpoint pass with per-class center offsets replaces three
@@ -301,13 +313,13 @@ class MonoRUn(nn.Module):
             off = (labels_i.astype(bev.dtype) * extent)[:, None]
             bev = bev.at[:, :2].add(off)
             s = jnp.where(valid_i, b3d[:, 7], NEG_INF)
-            idx, v = nms_rotated_bev(bev, s, tc.nms_3d_thr, M, exact=False)
-            return jnp.zeros((M,), bool).at[idx].set(v)
+            idx, v = nms_rotated_bev(bev, s, tc.nms_3d_thr, K, exact=False)
+            return jnp.zeros((K,), bool).at[idx].set(v)
 
         keep3d = jax.vmap(_nms3d_single)(
-            bboxes_3d, det_labels, det_valid
+            bboxes_3d, hd_labels, hd_valid
         )
-        final_valid = det_valid & keep3d & pnp.valid.reshape(B, M)
+        final_valid = hd_valid & keep3d & pnp.valid.reshape(B, K)
 
         # sanitise padded/invalid slots so downstream consumers (and
         # reductions over the fixed-shape arrays) never see NaN/garbage
@@ -316,10 +328,33 @@ class MonoRUn(nn.Module):
         extras: Dict[str, Array] = {}
         if tc.debug:
             extras = dict(
-                oc_maps=coords_3d.reshape(B, M, dsz, dsz, 3),
-                std_maps=jnp.exp(proj_logstd).reshape(B, M, dsz, dsz, 2),
-                latent_vecs=latent.reshape(B, M, -1),
+                oc_maps=coords_3d.reshape(B, K, dsz, dsz, 3),
+                std_maps=jnp.exp(proj_logstd).reshape(B, K, dsz, dsz, 2),
+                latent_vecs=latent.reshape(B, K, -1),
             )
+
+        pose_cov_out = jnp.where(
+            final_valid[..., None, None],
+            pose_cov_calib.reshape(B, K, 4, 4),
+            jnp.eye(4),
+        )
+        if K < M:
+            # pad the head outputs back to the fixed max_per_img slot
+            # count; tail slots are invalid (pose_cov keeps identity)
+            tail = ((0, 0), (0, M - K))
+            bboxes_3d = jnp.pad(bboxes_3d, tail + ((0, 0),))
+            final_valid = jnp.pad(final_valid, tail)
+            pose_cov_out = jnp.pad(pose_cov_out, tail + ((0, 0), (0, 0)))
+            pose_cov_out = jnp.where(
+                (jnp.arange(M) >= K)[None, :, None, None],
+                jnp.eye(4, dtype=pose_cov_out.dtype),
+                pose_cov_out,
+            )
+            extras = {
+                k: jnp.pad(
+                    v, tail + ((0, 0),) * (v.ndim - 2)
+                ) for k, v in extras.items()
+            }
 
         return Detections(
             bboxes_2d=det_boxes,
@@ -327,11 +362,7 @@ class MonoRUn(nn.Module):
             labels=det_labels,
             bboxes_3d=bboxes_3d,
             valid=final_valid,
-            pose_cov=jnp.where(
-                final_valid[..., None, None],
-                pose_cov_calib.reshape(B, M, 4, 4),
-                jnp.eye(4),
-            ),
+            pose_cov=pose_cov_out,
             extras=extras,
         )
 
