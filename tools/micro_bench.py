@@ -44,11 +44,14 @@ def timeit(name, fn, *args):
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     jfn = jax.jit(run_n, static_argnums=())
-    jfn(1, *args).block_until_ready()
+    # host fetch, not block_until_ready: through the axon tunnel
+    # block_until_ready returns without waiting for device completion,
+    # which reads every op as ~0 ms; only a value fetch synchronizes
+    float(jfn(1, *args))
 
     def t(n):
         t0 = time.time()
-        jfn(n, *args).block_until_ready()
+        float(jfn(n, *args))
         return time.time() - t0
 
     t(N_SHORT)
@@ -66,12 +69,13 @@ def main():
     rng = np.random.default_rng(0)
     dt = jnp.bfloat16
     strides = (2, 4, 8, 16, 32)
+    # generate the pyramid ON DEVICE: uploading ~85 MB/level*levels of
+    # host arrays through the remote tunnel dominates the whole run
     feats = [
-        jnp.asarray(
-            rng.normal(0, 1, (B, h // s, w // s, C)).astype(np.float32),
-            dtype=dt,
-        )
-        for s in strides
+        jax.random.normal(
+            jax.random.PRNGKey(i), (B, h // s, w // s, C), jnp.float32
+        ).astype(dt)
+        for i, s in enumerate(strides)
     ]
 
     def mk_rois(n_per_img, small_bias=True):
@@ -144,9 +148,9 @@ def main():
 
         cfg = get_config("kitti_multiclass")
         gh = GlobalHead(cfg.global_head, dtype=dt)
-        x7 = jnp.asarray(
-            rng.normal(0, 1, (n_det, 7, 7, C)).astype(np.float32), dtype=dt
-        )
+        x7 = jax.random.normal(
+            jax.random.PRNGKey(10), (n_det, 7, 7, C), jnp.float32
+        ).astype(dt)
         gv = gh.init(jax.random.PRNGKey(0), x7, False, jax.random.PRNGKey(1))
         timeit(
             "global_mc",
@@ -162,12 +166,12 @@ def main():
 
         cfg = get_config("kitti_multiclass")
         nh = NOCHead(cfg.noc_head, dtype=dt)
-        x14 = jnp.asarray(
-            rng.normal(0, 1, (n_det, 14, 14, C)).astype(np.float32), dtype=dt
-        )
-        lat = jnp.asarray(
-            rng.normal(0, 1, (n_det, 16)).astype(np.float32), dtype=dt
-        )
+        x14 = jax.random.normal(
+            jax.random.PRNGKey(11), (n_det, 14, 14, C), jnp.float32
+        ).astype(dt)
+        lat = jax.random.normal(
+            jax.random.PRNGKey(12), (n_det, 16), jnp.float32
+        ).astype(dt)
         lbl = jnp.asarray(rng.integers(0, 3, n_det), jnp.int32)
         flp = jnp.zeros((n_det,), bool)
         nv = nh.init(jax.random.PRNGKey(0), x14, lat, lbl, flp, False)
@@ -183,9 +187,9 @@ def main():
 
         cfg = get_config("kitti_multiclass")
         cp = CARAFEPack(channels=C, dtype=dt)
-        x14 = jnp.asarray(
-            rng.normal(0, 1, (n_det, 14, 14, C)).astype(np.float32), dtype=dt
-        )
+        x14 = jax.random.normal(
+            jax.random.PRNGKey(13), (n_det, 14, 14, C), jnp.float32
+        ).astype(dt)
         cv = cp.init(jax.random.PRNGKey(0), x14)
         timeit("carafe", lambda xx: cp.apply(cv, xx), x14)
 
@@ -193,14 +197,14 @@ def main():
         from monorun_tpu.ops.pnp import PnPConfig, pnp_uncert
 
         n_pts = 784
-        c2d = jnp.asarray(
-            rng.uniform(0, 1000, (n_det, n_pts, 2)).astype(np.float32)
+        c2d = jax.random.uniform(
+            jax.random.PRNGKey(14), (n_det, n_pts, 2), jnp.float32, 0, 1000
         )
-        istd = jnp.asarray(
-            rng.uniform(0.5, 2, (n_det, n_pts, 2)).astype(np.float32)
+        istd = jax.random.uniform(
+            jax.random.PRNGKey(15), (n_det, n_pts, 2), jnp.float32, 0.5, 2
         )
-        c3d = jnp.asarray(
-            rng.normal(0, 1, (n_det, n_pts, 3)).astype(np.float32)
+        c3d = jax.random.normal(
+            jax.random.PRNGKey(16), (n_det, n_pts, 3), jnp.float32
         )
         cams = jnp.tile(
             jnp.asarray(
