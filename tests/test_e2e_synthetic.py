@@ -126,11 +126,12 @@ def test_training_reaches_valid_3d_poses(trained):
     )
 
 
-def test_trained_model_scores_nontrivial_kitti_ap(trained):
+def _eval_trained(cfg, state, batches):
+    """Full inference path + official KITTI evaluator on the synthetic
+    scenes; returns (summary, ap dict)."""
     from monorun_tpu.apis.inference import InferenceSession
     from monorun_tpu.eval.kitti_eval import kitti_eval
 
-    cfg, state, batches, _ = trained
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     sess = InferenceSession(cfg, variables, batch_size=B, freeze="none")
 
@@ -179,10 +180,33 @@ def test_trained_model_scores_nontrivial_kitti_ap(trained):
     summary, ap = kitti_eval(
         gt_annos, det_annos, ("Car",), eval_types=("bbox", "bev", "3d")
     )
+    return summary, ap
+
+
+def test_trained_model_scores_nontrivial_kitti_ap(trained):
+    cfg, state, batches, _ = trained
+    summary, ap = _eval_trained(cfg, state, batches)
     print(summary)
     # 24 valid GT cap AP at 60 (see N_SCENES note). Memorized scenes:
     # 2D detection must be near the ceiling, 3D localization clearly
     # non-trivial under the official protocol.
+    assert ap["Car_bbox_0.70_moderate"] > 45.0, ap
+    assert ap["Car_3d_0.50_moderate"] > 20.0, ap
+    assert ap["Car_bev_0.50_moderate"] > 25.0, ap
+
+
+def test_head_slot_bucketing_preserves_ap(trained):
+    """test.head_slots caps the 3D heads to the top-K 2D-score slots
+    (models/detector.py). Scenes hold <= 2 objects per image, so K=4
+    covers every real detection and AP through the full inference path +
+    official evaluator must clear the same bars as the all-slot run (the
+    MC-dropout sample draws differ with the (B*K,) rng shape, so exact
+    equality is not expected — the protocol thresholds are)."""
+    cfg, state, batches, _ = trained
+    cfg_b = dataclasses.replace(
+        cfg, test=dataclasses.replace(cfg.test, head_slots=4)
+    )
+    _, ap = _eval_trained(cfg_b, state, batches)
     assert ap["Car_bbox_0.70_moderate"] > 45.0, ap
     assert ap["Car_3d_0.50_moderate"] > 20.0, ap
     assert ap["Car_bev_0.50_moderate"] > 25.0, ap
