@@ -505,11 +505,14 @@ def multilevel_roi_align_auto(
         # bf16's bytes: smaller RoI block)
         tile_h = ((max(tile_h, 32) + 15) // 16) * 16
 
-        if rois.shape[0] >= 4096 and features[0].dtype.itemsize < 4:
+        if rois.shape[0] >= 2048 and features[0].dtype.itemsize < 4:
             # proposal scale: per-RoI tile DMAs exceed the pyramid bytes
             # many times over and starve the interp matmuls; the band
             # sweep fetches each touched 64-row band once (<= 2x pyramid
-            # traffic) and measured 19 ms vs 51 ms at 8016 RoIs (v5e).
+            # traffic) and measured 19 ms vs 51 ms at 8016 RoIs and
+            # 9.3 ms vs 14.3 ms (sorted kernel) at 4000 RoIs (v5e) —
+            # band wins from ~2k RoIs; detection-scale counts (<= 1k)
+            # stay on the sorted per-RoI-DMA kernel, which wins there.
             # f32 (training) stays on the tile kernel: a double-buffered
             # f32 band of the widest level would blow the VMEM budget.
             from .roi_align_band import multilevel_roi_align_band
