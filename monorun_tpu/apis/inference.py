@@ -122,8 +122,34 @@ def init_inference(
     batch_size: int = 1,
     mesh=None,
     freeze: str = "none",
+    explicit_lazy: bool = False,
 ) -> InferenceSession:
+    """Build an InferenceSession from a config (preset name or object).
+
+    Loading a converted reference ``.pth`` defaults ``neck.lazy_lower``
+    OFF: those ``lower0`` weights were trained on the reference's
+    2x-upsampled grid (fpn_plus.py:79-91), and the lazy level is an
+    approximation of it (models/fpn.py). Pass ``explicit_lazy=True``
+    when the caller set ``neck.lazy_lower`` deliberately (e.g. via
+    ``--cfg-options``) to keep their choice.
+    """
     cfg = get_config(config) if isinstance(config, str) else config
+    if (
+        checkpoint
+        and checkpoint.endswith(".pth")
+        and cfg.neck.lazy_lower
+        and not explicit_lazy
+    ):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, neck=dataclasses.replace(cfg.neck, lazy_lower=False)
+        )
+        print(
+            "[init_inference] .pth checkpoint: neck.lazy_lower -> False "
+            "(reference-faithful dense stride-2 level; override with "
+            "--cfg-options neck.lazy_lower=True)"
+        )
     h, w = cfg.data.pad_height, cfg.data.pad_width
     _, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
     if checkpoint:

@@ -37,12 +37,16 @@ class NeckConfig:
     num_lower_outs: int = 1         # extra stride-2 level (FPNplus)
     # Lazy stride-2 level: keep the ``lower0`` 3x3 conv on the stride-4
     # lateral grid instead of materialising it on the 2x-upsampled grid
-    # (fpn_plus.py:79-91 computes conv(up2(lateral0)) densely). Bilinear
-    # RoI sampling of an exactly-bilinear-upsampled map equals sampling
-    # the base map at the scaled coordinates, so the ONLY semantic change
-    # is the conv's grid (conv-then-up vs up-then-conv); it removes the
-    # 145 GFLOP/img dense conv + the 60 MB stride-2 tensor from the
-    # pipeline. Validated end-to-end by tests/test_e2e_synthetic.py.
+    # (fpn_plus.py:79-91 computes conv(up2(lateral0)) densely). This is an
+    # APPROXIMATION: the conv's tap pitch doubles, so the level deviates
+    # from the reference's by the kernel-first-moment term (median ~3% of
+    # the level std on smooth fields, ~18% on white-noise content;
+    # measured bounds in tests/test_fpn_lazy.py). It removes the
+    # 145 GFLOP/img dense conv + the 60 MB stride-2 tensor, and is the
+    # default for training from scratch (weights adapt to the grid they
+    # see; AP-guarded by tests/test_e2e_synthetic.py). Loading a converted
+    # reference .pth checkpoint defaults this OFF for faithful semantics
+    # (apis/inference.init_inference).
     lazy_lower: bool = True
 
 

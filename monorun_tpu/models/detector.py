@@ -62,10 +62,11 @@ def _align_strides(cfg: MonoRUnConfig, strides):
 
     With the lazy FPN lower level (NeckConfig.lazy_lower) the declared
     stride-2 level is physically a stride-4 map; RoI-to-level ASSIGNMENT
-    is unchanged (assign_fpn_levels uses finest_scale only), and sampling
-    it at stride 4 is exact w.r.t. the reference's bilinear 2x upsample
-    (fpn_plus.py:79-91) because bilinear taps of up2(x) reproduce x's own
-    interpolant.
+    is unchanged (assign_fpn_levels uses finest_scale only), and the
+    sampling COORDINATES are exact: aligned RoIAlign of the stride-2 map
+    at u/2 - 0.5 corresponds to underlying stride-4 positions u/4 - 0.5.
+    The level's VALUES still deviate from the reference's dense
+    conv(up2(lateral)) build — the conv grid changes — see NeckConfig.
     """
     if cfg.neck.lazy_lower and strides and strides[0] == 2:
         return (4,) + tuple(strides[1:])

@@ -37,9 +37,18 @@ class FPNplus(nn.Module):
     num_outs: int = 5            # P2..P6
     num_lower_outs: int = 1      # stride-2 extras
     # lazy_lower: emit the lower conv on the stride-4 lateral grid (no 2x
-    # upsample). Exact for every bilinear-resampling consumer (RoIAlign
-    # taps of up2(x) == taps of x at halved coords) as long as callers
-    # sample it with stride 4; only the conv's input grid changes.
+    # upsample), and have consumers sample the result at stride 4. This is
+    # an APPROXIMATION of the reference's conv(up2(lateral)) (fpn_plus.py
+    # :79-91), not an exact rewrite: the 3x3 conv's tap pitch doubles
+    # (conv-then-sample vs up-then-conv), so outputs deviate by the
+    # kernel-first-moment term. Composed FPN+RoIAlign deviation measured
+    # on random weights (tests/test_fpn_lazy.py): median ~3% of the
+    # level's std on smooth fields, ~18% on white-noise-heavy content
+    # (corr 0.998 / 0.96). The RoI *coordinate* bookkeeping
+    # is exact (detector._align_strides). Appropriate when training from
+    # scratch (weights adapt to the grid they see); converted reference
+    # .pth checkpoints were trained on the upsampled grid, so .pth loads
+    # default this off (apis/inference.init_inference).
     lazy_lower: bool = False
     dtype: Any = jnp.float32
 

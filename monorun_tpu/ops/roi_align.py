@@ -495,9 +495,20 @@ def multilevel_roi_align_auto(
     gather lowering on TPU; CPU (tests, dryruns) uses the gather variant
     with identical semantics. ``pyramid`` (from prepare_pyramid over the
     same ``features``) shares the flat buffer across calls.
+
+    ``MONORUN_ALIGN_IMPL`` overrides the dispatch (profiling/compile-time
+    A/Bs): "auto" (default), "gather", "sorted", or "band".
     """
+    import os
+
     import jax
 
+    impl = os.environ.get("MONORUN_ALIGN_IMPL", "auto")
+    if impl == "gather":
+        return multilevel_roi_align(
+            features, rois, strides, out_size, finest_scale,
+            sampling_ratio=0, max_ratio=max_ratio, long_span_cap=96 - 18,
+        )
     if jax.default_backend() == "tpu":
         # tiles are fetched as conditional (16, 32) quadrants, so Th is
         # rounded up to the 16-row block; keep the double-buffered tile
@@ -505,7 +516,10 @@ def multilevel_roi_align_auto(
         # bf16's bytes: smaller RoI block)
         tile_h = ((max(tile_h, 32) + 15) // 16) * 16
 
-        if rois.shape[0] >= 2048 and features[0].dtype.itemsize < 4:
+        if impl == "band" or (
+            impl == "auto"
+            and rois.shape[0] >= 2048 and features[0].dtype.itemsize < 4
+        ):
             # proposal scale: per-RoI tile DMAs exceed the pyramid bytes
             # many times over and starve the interp matmuls; the band
             # sweep fetches each touched 64-row band once (<= 2x pyramid

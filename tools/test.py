@@ -68,7 +68,10 @@ def main():
                 f"the mesh size {mesh.devices.size}"
             )
     session = init_inference(
-        cfg, args.checkpoint, batch_size=args.batch_size, mesh=mesh
+        cfg, args.checkpoint, batch_size=args.batch_size, mesh=mesh,
+        explicit_lazy=any(
+            o.startswith("neck.lazy_lower") for o in args.cfg_options
+        ),
     )
     ap = run_eval(
         session, ds, batch_size=args.batch_size, metrics=args.eval,
