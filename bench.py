@@ -43,26 +43,30 @@ def main():
         file=sys.stderr,
     )
 
-    model, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
+    # fast structural init: the traced init compiles the whole forward
+    # program (250-720 s cold over the tunnel, tools/cold_profile.py)
+    model, variables = init_detector(
+        cfg, jax.random.PRNGKey(0), (h, w), fast=True
+    )
     from monorun_tpu.apis.inference import _precast_kernels
 
     variables = _precast_kernels(cfg, variables)
 
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.normal(0, 1, (BATCH, h, w, 3)).astype(np.float32)
+    # inputs are generated ON DEVICE: host->device uploads through the
+    # remote tunnel are slow (3-20 s for this 47 MB batch) and have no
+    # business inside a cold-start measurement
+    images = jax.random.normal(
+        jax.random.PRNGKey(3), (BATCH, h, w, 3), jnp.float32
     )
-    cam = jnp.asarray(
-        np.tile(
-            np.array(
-                [[721.5, 0, 609.6], [0, 721.5, 172.9], [0, 0, 1]],
-                np.float32,
-            ),
-            (BATCH, 1, 1),
-        )
+    cam = jnp.tile(
+        jnp.asarray(
+            [[721.5, 0.0, 609.6], [0.0, 721.5, 172.9], [0.0, 0.0, 1.0]],
+            jnp.float32,
+        ),
+        (BATCH, 1, 1),
     )
-    shapes = jnp.asarray(
-        np.tile(np.asarray([[375.0, 1242.0]], np.float32), (BATCH, 1))
+    shapes = jnp.tile(
+        jnp.asarray([[375.0, 1242.0]], jnp.float32), (BATCH, 1)
     )
 
     # The remote tunnel makes host-side timing unreliable (async dispatch,

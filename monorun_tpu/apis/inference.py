@@ -151,7 +151,12 @@ def init_inference(
             "--cfg-options neck.lazy_lower=True)"
         )
     h, w = cfg.data.pad_height, cfg.data.pad_width
-    _, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
+    # fast structural init: serving never needs the traced-init values
+    # (checkpoints overwrite them; without a checkpoint the weights are
+    # random either way), and the traced init compiles the entire forward
+    # program — 250-720 s of every cold start (tools/cold_profile.py)
+    _, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w),
+                                 fast=True)
     if checkpoint:
         variables = load_weights(cfg, variables, checkpoint)
     return InferenceSession(cfg, variables, batch_size, mesh=mesh,

@@ -772,11 +772,69 @@ def _train_forward(
 MonoRUn.train_forward = _train_forward
 
 
+def _fast_init_variables(model: "MonoRUn", rng: Array, image_shape):
+    """Structural init that never compiles the forward graph.
+
+    ``jax.jit(model.init)`` compiles the ENTIRE inference program just to
+    materialise parameters — measured 250-720 s cold through the remote
+    TPU tunnel (tools/cold_profile.py), dominating every cold start. This
+    path instead gets the variable tree abstractly via ``eval_shape``
+    (pure tracing, no compile) and materialises leaves with one tiny
+    jitted program reproducing the model's initializer rules: kernels are
+    lecun_normal (the flax default used everywhere here), biases/means
+    zero, scales/vars one, and the NOC head's ``latent_decoder`` kernel
+    zero (its documented identity-start init, models/noc_head.py).
+
+    Init RNG streams differ from the traced init (leaf-indexed fold_in vs
+    flax's per-module folding), so individual draws differ while the
+    distributions match. Use for serving (checkpoints overwrite values)
+    and benchmarks; training entry points keep the traced init.
+    """
+    h, w = image_shape
+    abstract = jax.eval_shape(
+        model.init,
+        {"params": rng},
+        jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32),
+        jax.ShapeDtypeStruct((1, 3, 3), jnp.float32),
+        jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        jax.random.PRNGKey(0),
+    )
+    flat, treedef = jax.tree_util.tree_flatten_with_path(abstract)
+
+    def build(key):
+        leaves = []
+        for i, (path, sds) in enumerate(flat):
+            names = [str(getattr(p, "key", p)) for p in path]
+            last = names[-1]
+            if last == "kernel" and "latent_decoder" in names:
+                v = jnp.zeros(sds.shape, sds.dtype)
+            elif last == "kernel" and len(sds.shape) >= 2:
+                v = nn.initializers.lecun_normal()(
+                    jax.random.fold_in(key, i), sds.shape, sds.dtype
+                )
+            elif last in ("scale", "var"):
+                v = jnp.ones(sds.shape, sds.dtype)
+            else:  # bias / mean / cov_calib_logscale / EMA scalars
+                v = jnp.zeros(sds.shape, sds.dtype)
+            leaves.append(v)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    return jax.jit(build)(rng)
+
+
 def init_detector(
-    cfg: MonoRUnConfig, rng: Array, image_shape: Tuple[int, int]
+    cfg: MonoRUnConfig, rng: Array, image_shape: Tuple[int, int],
+    fast: bool = False,
 ):
-    """Initialise variables with a dummy batch. Returns (model, variables)."""
+    """Initialise variables with a dummy batch. Returns (model, variables).
+
+    ``fast=True`` skips compiling the forward program (see
+    ``_fast_init_variables``) — use for serving and benchmarks; training
+    keeps the traced flax init (exact initializer semantics).
+    """
     model = MonoRUn(cfg)
+    if fast:
+        return model, _fast_init_variables(model, rng, image_shape)
     h, w = image_shape
     # jit the init: unjitted tracing dispatches thousands of individual ops
     # (prohibitive over a remote-device tunnel); one compiled program is fast

@@ -207,3 +207,91 @@ def test_format_results_tolerates_missing_entries(tmp_path):
     # the full evaluate path must also survive the hole
     ap = ds.evaluate(results, print_summary=False)
     assert isinstance(ap, dict)
+
+
+def _simulate_multiprocess_gather(monkeypatch, world, total, local_of_rank):
+    """Run allgather_results under a mocked multi-process environment.
+
+    Two passes per rank emulate the collective without threads: pass 1
+    harvests what each rank CONTRIBUTES to every process_allgather call
+    (the fake returns dummies, results discarded); pass 2 replays rank 0
+    with a fake returning the true tiled concatenation over ranks, in the
+    same deterministic call order every rank uses (idxs, then fields in
+    sorted-key order).
+    """
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(jax, "process_count", lambda: world)
+
+    contributions = []           # [rank][call_index] -> array
+    for rank in range(world):
+        sent = []
+
+        def harvest(x, tiled=True, _sent=sent):
+            _sent.append(np.asarray(x))
+            # dummy with the post-gather shape so pass 1 completes
+            return np.concatenate([np.asarray(x)] * world)
+
+        monkeypatch.setattr(multihost_utils, "process_allgather", harvest)
+        allgather_results(dict(local_of_rank[rank]), total)
+        contributions.append(sent)
+
+    n_calls = len(contributions[0])
+    assert all(len(c) == n_calls for c in contributions), (
+        "ranks disagreed on the collective call sequence"
+    )
+    calls = iter(range(n_calls))
+
+    def replay(x, tiled=True):
+        i = next(calls)
+        np.testing.assert_array_equal(np.asarray(x), contributions[0][i])
+        return np.concatenate([c[i] for c in contributions])
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", replay)
+    return allgather_results(dict(local_of_rank[0]), total)
+
+
+def test_allgather_results_multiprocess_mock(monkeypatch):
+    """Multi-host branch (pad-to-cap, -1 index sentinel, reassembly) is
+    exact under mocked process_count/process_allgather, including ranks
+    with fewer samples than the cap (total not divisible by world)."""
+    world, total = 3, 7      # strided shards: 3 / 2 / 2 -> cap 3, pads 0/1/1
+    rng = np.random.default_rng(0)
+    golden = {
+        i: {
+            "boxes": rng.normal(size=(4, 8)).astype(np.float32),
+            "valid": rng.integers(0, 2, size=(4,)).astype(bool),
+        }
+        for i in range(total)
+    }
+    local_of_rank = [
+        {int(i): golden[int(i)]
+         for i in dataset_shard(total, rank=r, world=world)}
+        for r in range(world)
+    ]
+    out = _simulate_multiprocess_gather(
+        monkeypatch, world, total, local_of_rank
+    )
+    assert len(out) == total
+    for i in range(total):
+        assert out[i] is not None, f"index {i} missing after gather"
+        np.testing.assert_array_equal(out[i]["boxes"], golden[i]["boxes"])
+        np.testing.assert_array_equal(out[i]["valid"], golden[i]["valid"])
+
+
+def test_allgather_results_multiprocess_exact_division(monkeypatch):
+    """No-padding path: every rank exactly at cap (total % world == 0)."""
+    world, total = 4, 8
+    golden = {
+        i: {"a": np.full((2, 3), float(i), np.float32)} for i in range(total)
+    }
+    local_of_rank = [
+        {int(i): golden[int(i)]
+         for i in dataset_shard(total, rank=r, world=world)}
+        for r in range(world)
+    ]
+    out = _simulate_multiprocess_gather(
+        monkeypatch, world, total, local_of_rank
+    )
+    for i in range(total):
+        np.testing.assert_array_equal(out[i]["a"], golden[i]["a"])

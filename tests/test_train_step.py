@@ -143,3 +143,20 @@ def test_debug_gt_substitution_mode(setup):
     # wildly off
     assert float(m_dbg["mean_iou"]) >= float(m_ref["mean_iou"])
     assert float(m_dbg["loss_dim"]) == float(m_ref["loss_dim"])
+
+
+def test_multichip_optimized_compile():
+    """Sharded OPTIMIZED codegen is attested somewhere: the driver dryrun
+    compiles the multi-device train step with jax_disable_most_optimizations
+    for speed, so this heavy test compiles + executes the same tiny-shape
+    full train step on a 2-device mesh with the full optimization
+    pipeline enabled (the default)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+
+    assert jax.config.read("jax_disable_most_optimizations") is False
+    new_state, metrics = g.run_multichip_step(2)
+    assert np.isfinite(float(metrics["total_loss"])), metrics
+    assert int(new_state.step) == 1

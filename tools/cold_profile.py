@@ -63,10 +63,13 @@ def main():
     print(f"devices={jax.devices()} batch={BATCH} salt={SALT}", flush=True)
     mark("backend init")
 
-    model, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
+    fast = os.environ.get("MONORUN_FAST_INIT", "1") == "1"
+    model, variables = init_detector(
+        cfg, jax.random.PRNGKey(0), (h, w), fast=fast
+    )
     # sync: fetch one small leaf
     float(jnp.sum(variables["params"]["cov_calib_logscale"]))
-    mark("init_detector (jitted init)")
+    mark(f"init_detector (fast={fast})")
 
     from monorun_tpu.apis.inference import _precast_kernels
 
