@@ -20,6 +20,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..coders import DimCoder, NOCCoder, ProjErrorCoder
 from ..config import MonoRUnConfig
@@ -801,20 +802,40 @@ def _fast_init_variables(model: "MonoRUn", rng: Array, image_shape):
     )
     flat, treedef = jax.tree_util.tree_flatten_with_path(abstract)
 
+    # one flat normal draw feeds every kernel (per-leaf fold_in/threefry
+    # setups made the build program itself expensive to compile); each
+    # kernel slice is scaled to lecun std = 1/sqrt(fan_in). Plain normal
+    # instead of flax's truncated normal — statistically equivalent for
+    # serving/bench purposes (checkpoints overwrite values anyway).
+    sizes, offs = [], []
+    off = 0
+    for path, sds in flat:
+        names = [str(getattr(p, "key", p)) for p in path]
+        is_kernel = (
+            names[-1] == "kernel" and len(sds.shape) >= 2
+            and "latent_decoder" not in names
+        )
+        offs.append(off)
+        n = int(np.prod(sds.shape)) if is_kernel else 0
+        sizes.append(n)
+        off += n
+    total = max(off, 1)
+
     def build(key):
+        pool = jax.random.normal(key, (total,), jnp.float32)
         leaves = []
-        for i, (path, sds) in enumerate(flat):
+        for (path, sds), o, n in zip(flat, offs, sizes):
             names = [str(getattr(p, "key", p)) for p in path]
             last = names[-1]
-            if last == "kernel" and "latent_decoder" in names:
-                v = jnp.zeros(sds.shape, sds.dtype)
-            elif last == "kernel" and len(sds.shape) >= 2:
-                v = nn.initializers.lecun_normal()(
-                    jax.random.fold_in(key, i), sds.shape, sds.dtype
-                )
+            if n > 0:
+                fan_in = int(np.prod(sds.shape[:-1]))
+                v = (
+                    pool[o : o + n].reshape(sds.shape)
+                    / np.sqrt(float(fan_in))
+                ).astype(sds.dtype)
             elif last in ("scale", "var"):
                 v = jnp.ones(sds.shape, sds.dtype)
-            else:  # bias / mean / cov_calib_logscale / EMA scalars
+            else:  # bias / mean / zero-init kernels / EMA scalars
                 v = jnp.zeros(sds.shape, sds.dtype)
             leaves.append(v)
         return jax.tree_util.tree_unflatten(treedef, leaves)

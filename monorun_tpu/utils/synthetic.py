@@ -89,6 +89,7 @@ def synthetic_scene_batch(
     seed: int = 0,
     n_objects: int = 2,
     z_range: Tuple[float, float] = (4.5, 7.0),
+    u_span: Tuple[float, float] = (0.25, 0.75),
 ) -> Dict[str, np.ndarray]:
     """Geometrically CONSISTENT synthetic KITTI scenes.
 
@@ -137,7 +138,7 @@ def synthetic_scene_batch(
     pts_valid = np.zeros((batch, G, num_pts), bool)
 
     n_obj = min(n_objects, G)
-    u_slots = np.linspace(0.25, 0.75, max(n_obj, 1)) * w
+    u_slots = np.linspace(u_span[0], u_span[1], max(n_obj, 1)) * w
 
     for b in range(batch):
         # far-to-near draw order for correct occlusion

@@ -183,30 +183,121 @@ def _eval_trained(cfg, state, batches):
     return summary, ap
 
 
-def test_trained_model_scores_nontrivial_kitti_ap(trained):
+@pytest.fixture(scope="module")
+def eval_all(trained):
+    """All-slot evaluation of the trained model, shared by the AP tests."""
     cfg, state, batches, _ = trained
-    summary, ap = _eval_trained(cfg, state, batches)
+    return _eval_trained(cfg, state, batches)
+
+
+def test_trained_model_scores_nontrivial_kitti_ap(eval_all):
+    summary, ap = eval_all
     print(summary)
+    print({k: round(v, 2) for k, v in ap.items() if "moderate" in k})
     # 24 valid GT cap AP at 60 (see N_SCENES note). Memorized scenes:
     # 2D detection must be near the ceiling, 3D localization clearly
-    # non-trivial under the official protocol.
+    # non-trivial under the official protocol. Tracked results of the
+    # trained nano model (printed above): bbox_0.70_mod ~49, 3d_0.50_mod
+    # ~41, bev_0.50_mod ~41. Bars sit ~8 AP under that, so a ~20%
+    # relative 3D-quality regression fails while run-to-run trainer
+    # jitter (the early-stop window, MC draws) does not.
     assert ap["Car_bbox_0.70_moderate"] > 45.0, ap
-    assert ap["Car_3d_0.50_moderate"] > 20.0, ap
-    assert ap["Car_bev_0.50_moderate"] > 25.0, ap
+    assert ap["Car_3d_0.50_moderate"] > 33.0, ap
+    assert ap["Car_bev_0.50_moderate"] > 33.0, ap
 
 
-def test_head_slot_bucketing_preserves_ap(trained):
+def test_head_slot_bucketing_preserves_ap(trained, eval_all):
     """test.head_slots caps the 3D heads to the top-K 2D-score slots
     (models/detector.py). Scenes hold <= 2 objects per image, so K=4
-    covers every real detection and AP through the full inference path +
-    official evaluator must clear the same bars as the all-slot run (the
-    MC-dropout sample draws differ with the (B*K,) rng shape, so exact
-    equality is not expected — the protocol thresholds are)."""
+    covers every real detection: bbox AP must be IDENTICAL (the 2D path
+    does not depend on head_slots) and the 3D/BEV APs must agree with
+    the all-slot run within a tolerance covering only MC-dropout draw
+    differences (the rng fans out over (B*K,) slots, so the sample
+    noise differs; the protocol itself quantizes at ~2.5 AP per rank)."""
     cfg, state, batches, _ = trained
+    _, ap_all = eval_all
     cfg_b = dataclasses.replace(
         cfg, test=dataclasses.replace(cfg.test, head_slots=4)
     )
     _, ap = _eval_trained(cfg_b, state, batches)
-    assert ap["Car_bbox_0.70_moderate"] > 45.0, ap
-    assert ap["Car_3d_0.50_moderate"] > 20.0, ap
-    assert ap["Car_bev_0.50_moderate"] > 25.0, ap
+    assert ap["Car_bbox_0.70_moderate"] == pytest.approx(
+        ap_all["Car_bbox_0.70_moderate"], abs=1e-6
+    ), (ap, ap_all)
+    for key in ("Car_3d_0.50_moderate", "Car_bev_0.50_moderate"):
+        assert ap[key] == pytest.approx(ap_all[key], abs=8.0), (
+            key, ap[key], ap_all[key]
+        )
+        assert ap[key] > 33.0, (key, ap)
+
+
+CROWD_HW = (96, 384)   # wider canvas: 6 objects at training-range depth
+                       # without the overlap the nano RPN can't separate
+
+
+def test_head_slot_truncation_on_crowded_scene(trained):
+    """The documented head_slots drop mode, actually exercised: a scene
+    with MORE above-threshold detections than head_slots. The bucketed
+    run must (a) keep the 2D outputs untouched (full max_per_img slots),
+    (b) report zero 3D boxes / identity pose_cov / valid=False beyond
+    slot K, and (c) spend its K slots on the highest-2D-score detections
+    (NMS slots are score-sorted). docs/COVERAGE.md documents this as the
+    one behavioral difference vs all-slot computation."""
+    from monorun_tpu.apis.inference import InferenceSession
+
+    cfg, state, _, _ = trained
+    crowd = synthetic_scene_batch(
+        cfg, B, CROWD_HW, num_gt=8, num_pts=64, seed=77, n_objects=6,
+        z_range=(4.5, 7.0), u_span=(0.08, 0.92),
+    )
+    assert crowd["gt_valid"].sum(axis=1).max() >= 5, (
+        "crowd fixture failed to rasterize enough objects"
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    K = 3
+    cfg_all = dataclasses.replace(
+        cfg, test=dataclasses.replace(cfg.test, head_slots=0)
+    )
+    cfg_k = dataclasses.replace(
+        cfg, test=dataclasses.replace(cfg.test, head_slots=K)
+    )
+    det_all = InferenceSession(cfg_all, variables, batch_size=B).run(
+        crowd["images"], crowd["cam"], crowd["img_shapes"], seed=9
+    )
+    det_k = InferenceSession(cfg_k, variables, batch_size=B).run(
+        crowd["images"], crowd["cam"], crowd["img_shapes"], seed=9
+    )
+
+    n_all = np.asarray(det_all.valid).sum(axis=1)
+    print("crowded-scene valid detections per image (all-slot):", n_all)
+    assert (n_all > K).any(), (
+        "crowd premise failed: all-slot run found <= K detections"
+    )
+
+    # (a) 2D path identical regardless of head_slots
+    np.testing.assert_allclose(
+        np.asarray(det_k.bboxes_2d), np.asarray(det_all.bboxes_2d)
+    )
+    np.testing.assert_allclose(
+        np.asarray(det_k.scores_2d), np.asarray(det_all.scores_2d)
+    )
+
+    # (b) the tail is cleanly truncated
+    valid_k = np.asarray(det_k.valid)
+    assert not valid_k[:, K:].any()
+    np.testing.assert_array_equal(
+        np.asarray(det_k.bboxes_3d)[:, K:], 0.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_k.pose_cov)[:, K:],
+        np.broadcast_to(np.eye(4, dtype=np.float32),
+                        np.asarray(det_k.pose_cov)[:, K:].shape),
+    )
+
+    # (c) the K head slots are the top-K 2D-score slots, and at least one
+    # real detection was dropped on the crowded image
+    scores_2d = np.asarray(det_all.scores_2d)
+    for i in range(B):
+        order_ok = np.all(np.diff(scores_2d[i]) <= 1e-6)
+        assert order_ok, scores_2d[i]
+    dropped = np.asarray(det_all.valid)[:, K:].sum()
+    assert dropped > 0
