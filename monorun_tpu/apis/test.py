@@ -67,6 +67,12 @@ def run_eval(
                 valid=np.asarray(det.valid[b]),
                 pose_cov=np.asarray(det.pose_cov[b]),
             )
+            if det.extras:
+                # cfg.test.debug extras feed the BEV reconstruction
+                # scatter in the visualizer (image_bev_vis.py:119-141)
+                local[idx].update(
+                    {k: np.asarray(v[b]) for k, v in det.extras.items()}
+                )
             if show_dir is not None:
                 import os
 

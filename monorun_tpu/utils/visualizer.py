@@ -99,6 +99,52 @@ def draw_cov_ellipse(canvas, center, cov2d, to_px, color, chi2_95=5.991):
     )
 
 
+def scatter_reconstruction(
+    canvas: np.ndarray,
+    to_px,
+    boxes_3d: np.ndarray,          # (n, 8) [l,h,w,x,y,z,ry,score]
+    bboxes_2d: np.ndarray,         # (n, 4+) image-space boxes
+    oc_maps: np.ndarray,           # (n, d, d, 3) NOC-decoded object coords
+    std_maps: np.ndarray,          # (n, d, d, 2) projection stds
+    image_bgr: np.ndarray,
+    score_thr: float,
+) -> None:
+    """Reconstructed object points on the BEV canvas, colored by the RGB
+    of the detection's image crop (image_bev_vis.py:119-141): each dense
+    NOC point is rotated/translated by the estimated pose, points whose
+    projection-std exceeds 2x the per-object mean are dropped, and the
+    survivors are painted far-to-near so nearer surfaces overdraw."""
+    h, w = canvas.shape[:2]
+    d = oc_maps.shape[1]
+    for j in range(len(boxes_3d)):
+        if boxes_3d[j, 7] < score_thr:
+            continue
+        std = std_maps[j].mean(axis=-1)                      # (d, d)
+        mask = std < 2.0 * std.mean()
+        if not mask.any():
+            continue
+        ry, t = boxes_3d[j, 6], boxes_3d[j, 3:6]
+        c, s = np.cos(ry), np.sin(ry)
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        oc = oc_maps[j][mask]                                # (np, 3)
+        order = np.argsort(oc[:, 1])[::-1]                   # bottom first
+        pts = oc[order] @ rot.T + t
+        x1, y1, x2, y2 = [int(round(float(v))) for v in bboxes_2d[j, :4]]
+        x2, y2 = max(x2, x1 + 1), max(y2, y1 + 1)
+        crop = image_bgr[
+            max(y1, 0): max(y2, 1), max(x1, 0): max(x2, 1)
+        ]
+        if crop.size == 0:
+            continue
+        rgb = cv2.resize(crop, (d, d))[mask][order]          # (np, 3)
+        px = np.stack([p for p in map(to_px, pts[:, [0, 2]])])
+        ok = (
+            (px[:, 0] >= 0) & (px[:, 0] < w)
+            & (px[:, 1] >= 0) & (px[:, 1] < h)
+        )
+        canvas[px[ok, 1], px[ok, 0]] = rgb[ok]
+
+
 def show_bev(
     boxes_3d: np.ndarray,          # (n, 8)
     labels: np.ndarray,
@@ -108,6 +154,10 @@ def show_bev(
     canvas_size: Tuple[int, int] = (420, 620),
     z_range: float = 70.0,
     score_thr: float = 0.3,
+    bboxes_2d: Optional[np.ndarray] = None,
+    oc_maps: Optional[np.ndarray] = None,      # (n, d, d, 3) debug extras
+    std_maps: Optional[np.ndarray] = None,     # (n, d, d, 2)
+    image_bgr: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     h, w = canvas_size
     canvas = np.full((h, w, 3), 30, np.uint8)
@@ -123,6 +173,12 @@ def show_bev(
         cv2.line(canvas, to_px((0, 0)), to_px(far), (80, 80, 80), 1)
     for z in range(10, int(z_range) + 1, 10):
         cv2.circle(canvas, to_px((0, 0)), int(z * px_per_m), (55, 55, 55), 1)
+
+    if oc_maps is not None and image_bgr is not None and len(boxes_3d):
+        scatter_reconstruction(
+            canvas, to_px, boxes_3d, bboxes_2d, oc_maps, std_maps,
+            image_bgr, score_thr,
+        )
 
     for i, (box, lab) in enumerate(zip(boxes_3d, labels)):
         if box[7] < score_thr:
@@ -154,17 +210,28 @@ def show_result(
     out_file: Optional[str] = None,
     score_thr: float = 0.3,
 ) -> np.ndarray:
-    """Camera view above BEV view, like MonoRUnDetector.show_result."""
+    """Camera view above BEV view, like MonoRUnDetector.show_result.
+
+    When the result carries the debug extras (cfg.test.debug: oc_maps
+    (M, d, d, 3) + std_maps), the BEV additionally shows the dense
+    reconstructed object points colored by the detection's image RGB."""
     img = image_bgr.copy()
     keep = result["valid"]
     boxes = result["bboxes_3d"][keep]
     labels = result["labels"][keep]
     covs = result.get("pose_cov")
     covs = covs[keep] if covs is not None else None
+    oc_maps = result.get("oc_maps")
     draw_boxes_3d(img, boxes, labels, cam, score_thr)
     bev = show_bev(
         boxes, labels, cam, covs, img_width=img.shape[1],
         canvas_size=(420, img.shape[1]), score_thr=score_thr,
+        bboxes_2d=result["bboxes_2d"][keep],
+        oc_maps=oc_maps[keep] if oc_maps is not None else None,
+        std_maps=(
+            result["std_maps"][keep] if oc_maps is not None else None
+        ),
+        image_bgr=image_bgr,
     )
     out = np.concatenate([img, bev], axis=0)
     if out_file:
