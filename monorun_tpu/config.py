@@ -205,6 +205,11 @@ class TrainCfg:
     rcnn_pos_fraction: float = 0.25
     add_gt_as_proposals: bool = True
     max_pos: int = 128              # static positive-RoI capacity
+    # Cascade-R-CNN-style re-assign+resample after bbox refinement
+    # (monorun_roi_head.py:141-166, bbox_refined_assigner/sampler). The
+    # reference supports it but no shipped config enables it; OFF keeps
+    # the default positive-RoI-refinement branch.
+    refined_reassign: bool = False
     dense_size: int = 28
     calib_scoring: bool = True
     # GT-substitution head-isolation mode (monorun_roi_head.py:323-324,
@@ -271,6 +276,14 @@ class DataConfig:
     pad_width: int = 1280
     max_gt: int = 64
     workers: int = 2
+    # test-time input downscale (architectural FLOP cut, NOT reference
+    # behaviour — the reference evaluates at native resolution). Images
+    # and intrinsics are scaled together, so PnP still solves in metric
+    # space; predicted 2D boxes are mapped back to native coords before
+    # evaluation/submission (apis/test.py). Pair with matching
+    # pad_height/pad_width. AP cost must be validated per the protocol
+    # in README 'Fast presets'.
+    test_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -320,6 +333,35 @@ def _car_variant(base: MonoRUnConfig, name: str) -> MonoRUnConfig:
     )
 
 
+def _fast(base: MonoRUnConfig, name: str) -> MonoRUnConfig:
+    """Serving-speed preset: 0.75x test resolution + 512 RPN proposals.
+
+    Architectural FLOP cuts the reference does not make (its test budget
+    is native-res + 1000 proposals, configs/kitti_multiclass.py:196-207).
+    Each cut is revertible by config and costed in README 'Fast presets';
+    AP impact is guarded by tests/test_e2e_synthetic.py (trained model,
+    official evaluator, fast-preset bars) and must be re-validated on
+    real KITTI via tools/parity.py before production use. Pads stay
+    64-divisible (320 = 5 * 64) so the stride-64 FPN level is exact."""
+    return _replace(
+        base,
+        name=name,
+        data=_replace(
+            base.data, test_scale=0.75, pad_height=320, pad_width=960,
+        ),
+        test=_replace(base.test, rpn_nms_pre=512, rpn_nms_post=512),
+    )
+
+
+def _fast_r50(base: MonoRUnConfig) -> MonoRUnConfig:
+    """_fast + ResNet-50 backbone: the deepest cut (the reference ships
+    no R50 KITTI checkpoint, so this preset implies retraining)."""
+    fast = _fast(base, "kitti_multiclass_fast_r50")
+    return _replace(
+        fast, backbone=_replace(fast.backbone, depth=50),
+    )
+
+
 def _lidar_supv(base: MonoRUnConfig, name: str) -> MonoRUnConfig:
     """LiDAR-supervised preset: NOC loss on, obj_crd prefix, dropout2d 0.5
     (configs/kitti_multiclass_lidar_supv.py deltas)."""
@@ -355,6 +397,12 @@ def get_config(name: str) -> MonoRUnConfig:
         "kitti_car": _car_variant(base, "kitti_car"),
         "kitti_car_lidar_supv": _lidar_supv(
             _car_variant(base, ""), "kitti_car_lidar_supv"),
+        # Serving-speed presets: architectural FLOP cuts behind config,
+        # costed in README 'Fast presets' (GFLOP + fps + AP guard). Not
+        # reference behaviour; the parity runbook (tools/parity.py)
+        # forces all of this off.
+        "kitti_multiclass_fast": _fast(base, "kitti_multiclass_fast"),
+        "kitti_multiclass_fast_r50": _fast_r50(base),
     }
     if name not in presets:
         raise KeyError(f"unknown config '{name}'; have {sorted(presets)}")

@@ -502,13 +502,59 @@ def _train_forward(
         avg_factor=n_total,
     )
 
-    # ---- positive-RoI refinement (regress_by_class, no grad) -------------
-    refined = delta_decode(
-        samp.pos_boxes, jax.lax.stop_gradient(pos_deltas),
-        cfg.bbox_head.target_means, cfg.bbox_head.target_stds,
-        max_shape=pad_shape,
-    )
-    pos_boxes = jnp.where(samp.pos_valid[..., None], refined, samp.pos_boxes)
+    if tr.refined_reassign:
+        # ---- cascade-style re-assign + re-sample (no grad) ---------------
+        # Mirrors monorun_roi_head.py:141-166 (bbox_refined_assigner/
+        # bbox_refined_sampler): every sampled RoI is refined by its class
+        # — the ASSIGNED class for positives, the argmax PREDICTED class
+        # for the rest (mmdet refine_bboxes semantics) — GT-sourced
+        # positives are dropped from the refined proposal set, and the 3D
+        # heads train on a fresh assign+sample against those refined
+        # boxes (GTs re-appended, RandomSampler add_gt_as_proposals
+        # default). Unused by the reference's shipped configs, so OFF by
+        # default; fixed-shape here: dropping = marking invalid.
+        Ns = tr.rcnn_num_samples
+        deltas_sg = jax.lax.stop_gradient(deltas).reshape(B, Ns, K, 4)
+        cls_sg = jax.lax.stop_gradient(cls_logits).reshape(B, Ns, -1)
+        pred_lbl = jnp.argmax(cls_sg[..., :K], axis=-1)
+        lbl_mat = labels_all.reshape(B, Ns)
+        roi_lbl = jnp.where(lbl_mat == bg, pred_lbl, lbl_mat)
+        sel_deltas = jnp.take_along_axis(
+            deltas_sg, roi_lbl[..., None, None].astype(jnp.int32)
+            .repeat(4, -1), axis=2,
+        )[:, :, 0]                                   # (B, Ns, 4)
+        refined_all = delta_decode(
+            all_boxes, sel_deltas, cfg.bbox_head.target_means,
+            cfg.bbox_head.target_stds, max_shape=pad_shape,
+        )
+        n_props = proposals.shape[1]
+        pos_is_gt = samp.pos_inds >= n_props         # (B, P)
+        refined_valid = jnp.concatenate(
+            [samp.pos_valid & ~pos_is_gt, samp.neg_valid], axis=1
+        )
+        cand2 = jnp.concatenate([refined_all, batch["gt_boxes"]], axis=1)
+        cand2_valid = jnp.concatenate(
+            [refined_valid, batch["gt_valid"]], axis=1
+        )
+        samp = jax.vmap(per_image)(
+            jax.random.split(jax.random.fold_in(rng_assign, 1), B),
+            cand2, cand2_valid, batch["gt_boxes"], batch["gt_valid"],
+            batch["gt_labels"], batch["ignore_boxes"],
+            batch["ignore_valid"],
+        )
+        pos_boxes = samp.pos_boxes
+    else:
+        # ---- positive-RoI refinement (regress_by_class, no grad) ---------
+        # the reference's default branch: refine positives in place
+        # without re-assigning (monorun_roi_head.py:168-176)
+        refined = delta_decode(
+            samp.pos_boxes, jax.lax.stop_gradient(pos_deltas),
+            cfg.bbox_head.target_means, cfg.bbox_head.target_stds,
+            max_shape=pad_shape,
+        )
+        pos_boxes = jnp.where(
+            samp.pos_valid[..., None], refined, samp.pos_boxes
+        )
 
     # ---- 3D heads on the positive slots -----------------------------------
     pos_batch_col = jnp.repeat(jnp.arange(B, dtype=pos_boxes.dtype), P)

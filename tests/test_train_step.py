@@ -160,3 +160,23 @@ def test_multichip_optimized_compile():
     new_state, metrics = g.run_multichip_step(2)
     assert np.isfinite(float(metrics["total_loss"])), metrics
     assert int(new_state.step) == 1
+
+
+def test_refined_reassign_branch(setup):
+    """train.refined_reassign=True (monorun_roi_head.py:141-166): the 3D
+    heads train on a fresh assign+sample over class-refined boxes with
+    GT-sourced positives dropped. Losses stay finite; the bbox-head
+    losses (stage-1, before the re-assign) are bit-identical to the
+    default branch, while 3D-head losses differ (different RoIs)."""
+    cfg, model, state, tx, batch = setup
+    rcfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, refined_reassign=True)
+    )
+    rmodel = type(model)(rcfg)
+    _, m_re = train_step(rmodel, tx, state, batch, jax.random.PRNGKey(5))
+    _, m_def = train_step(model, tx, state, batch, jax.random.PRNGKey(5))
+    for k, v in m_re.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    for k in ("loss_cls", "loss_bbox", "loss_rpn_cls", "loss_rpn_bbox"):
+        assert float(m_re[k]) == float(m_def[k]), k
+    assert float(m_re["loss_dim"]) != float(m_def["loss_dim"])
