@@ -29,6 +29,11 @@ BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 FREEZE = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
     "MONORUN_FREEZE", "none"
 )
+# The driver's headline metric is the flagship parity-FLOP config; the
+# fast presets (config._fast, architectural cuts) are benchmarked by
+# setting MONORUN_BENCH_CONFIG=kitti_multiclass_fast[_r50] by hand and
+# reported separately in README 'Fast presets'.
+CONFIG = os.environ.get("MONORUN_BENCH_CONFIG", "kitti_multiclass")
 ITERS = 20
 
 
@@ -36,7 +41,7 @@ def main():
     from monorun_tpu.config import get_config
     from monorun_tpu.models import init_detector
 
-    cfg = get_config("kitti_multiclass")
+    cfg = get_config(CONFIG)
     h, w = cfg.data.pad_height, cfg.data.pad_width
     print(
         f"devices={jax.devices()} batch={BATCH} img={h}x{w}",
@@ -65,8 +70,9 @@ def main():
         ),
         (BATCH, 1, 1),
     )
+    s = cfg.data.test_scale
     shapes = jnp.tile(
-        jnp.asarray([[375.0, 1242.0]], jnp.float32), (BATCH, 1)
+        jnp.asarray([[375.0 * s, 1242.0 * s]], jnp.float32), (BATCH, 1)
     )
 
     # The remote tunnel makes host-side timing unreliable (async dispatch,

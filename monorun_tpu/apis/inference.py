@@ -206,9 +206,22 @@ def inference_detector(
     for i in range(0, len(image_paths), B):
         chunk = image_paths[i : i + B]
         cams = cam_intrinsics[i : i + B]
+        s = float(cfg.data.test_scale)
+        if s != 1.0:
+            import cv2
+
+            cams = [c.copy() for c in cams]
+            for c in cams:
+                c[:2] *= s
         imgs, shapes = [], []
         for p in chunk:
             img = load_image(p, cfg.data.to_rgb)
+            if s != 1.0:
+                h, w = img.shape[:2]
+                img = cv2.resize(
+                    img, (int(round(w * s)), int(round(h * s))),
+                    interpolation=cv2.INTER_LINEAR,
+                )
             padded, (rh, rw) = normalize_pad(img, cfg.data)
             imgs.append(padded)
             shapes.append([float(rh), float(rw)])
@@ -223,7 +236,7 @@ def inference_detector(
         for b in range(len(chunk)):
             results.append(
                 dict(
-                    bboxes_2d=np.asarray(det.bboxes_2d[b]),
+                    bboxes_2d=np.asarray(det.bboxes_2d[b]) / s,
                     scores_2d=np.asarray(det.scores_2d[b]),
                     labels=np.asarray(det.labels[b]),
                     bboxes_3d=np.asarray(det.bboxes_3d[b]),

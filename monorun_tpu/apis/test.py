@@ -60,8 +60,12 @@ def run_eval(
             idx = int(idx)
             if idx in local:
                 continue   # wrapped tail duplicate
+            inv_s = 1.0 / float(cfg.data.test_scale)
             local[idx] = dict(
-                bboxes_2d=np.asarray(det.bboxes_2d[b]),
+                # fast-preset downscale: 2D boxes back to native image
+                # coords (3D outputs are metric already — intrinsics
+                # were scaled with the image in prepare_test_sample)
+                bboxes_2d=np.asarray(det.bboxes_2d[b]) * inv_s,
                 labels=np.asarray(det.labels[b]),
                 bboxes_3d=np.asarray(det.bboxes_3d[b]),
                 valid=np.asarray(det.valid[b]),

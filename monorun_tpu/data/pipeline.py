@@ -178,10 +178,23 @@ def prepare_test_sample(
 ) -> Dict[str, np.ndarray]:
     img = load_image(ds.image_path(idx), data_cfg.to_rgb)
     ann = ds.get_ann(idx)
+    cam = ann["cam_intrinsic"]
+    s = float(data_cfg.test_scale)
+    if s != 1.0:
+        # fast-preset downscale: image and intrinsics scale together so
+        # the 3D geometry (PnP in metric space) is unchanged; predicted
+        # 2D boxes are mapped back to native coords in apis/test.py
+        h, w = img.shape[:2]
+        img = cv2.resize(
+            img, (int(round(w * s)), int(round(h * s))),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        cam = cam.copy()
+        cam[:2] *= s
     img, (rh, rw) = normalize_pad(img, data_cfg)
     return dict(
         images=img,
-        cam=ann["cam_intrinsic"],
+        cam=cam,
         img_shapes=np.asarray([float(rh), float(rw)], np.float32),
     )
 

@@ -27,13 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+CONFIG = sys.argv[2] if len(sys.argv) > 2 else "kitti_multiclass"
 
 
 def main():
     from monorun_tpu.config import get_config
     from monorun_tpu.models import init_detector
 
-    cfg = get_config("kitti_multiclass")
+    cfg = get_config(CONFIG)
     h, w = cfg.data.pad_height, cfg.data.pad_width
     model, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
 

@@ -34,7 +34,11 @@ def main():
 
     cfg = get_config("kitti_multiclass")
     h, w = cfg.data.pad_height, cfg.data.pad_width
-    model, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
+    # fast structural init: the traced init would compile the entire
+    # forward a second time (minutes over the tunnel) before the traced
+    # program even starts
+    model, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w),
+                                     fast=True)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(0, 1, (BATCH, h, w, 3)).astype(np.float32))
