@@ -99,6 +99,11 @@ class GlobalHeadConfig:
     dropout2d_rate: float = 0.2
     num_dropout_layers: int = 2
     mc_samples: int = 50
+    # MC-dropout bit generation via XLA's hardware RngBitGenerator (~10x
+    # cheaper than threefry for the (n, S, 1024) masks) — NOT guaranteed
+    # bit-stable across backends/compiler versions; False restores
+    # threefry for bitwise cross-platform reproducibility
+    mc_fast_rng: bool = True
     dim_means: Tuple[Tuple[float, float, float], ...] = (
         (3.89, 1.53, 1.62), (0.82, 1.78, 0.63), (1.77, 1.72, 0.57))
     dim_stds: Tuple[Tuple[float, float, float], ...] = (

@@ -30,7 +30,7 @@ from ..config import GlobalHeadConfig
 Array = jnp.ndarray
 
 
-def _fast_key(key):
+def _fast_key(key, fast: bool = True):
     """Threefry key -> rbg key for bulk mask generation.
 
     Threefry bit generation for the two (n, 50, 1024) MC masks profiled
@@ -38,12 +38,21 @@ def _fast_key(key):
     on the VPU); XLA's hardware RngBitGenerator behind the 'rbg' impl is
     ~10x cheaper. Deterministic in the input key; dropout masks only need
     iid Bernoulli quality, not cryptographic separation.
-    """
-    kd = key
+
+    DETERMINISM TRADE-OFF: JAX does not guarantee 'rbg' streams are
+    stable across backends or compiler versions, so MC-dropout draws
+    (and hence the aleatoric/epistemic estimates) are reproducible only
+    within one stack. GlobalHeadConfig.mc_fast_rng=False keeps the
+    threefry impl for bitwise cross-platform reproducibility. The four
+    rbg key words are derived from the threefry key and a fold_in(1) of
+    it — two independent 32-bit words each, not a duplicate."""
+    if not fast:
+        return key
+    kd, kd2 = key, jax.random.fold_in(key, 1)
     if hasattr(key, "dtype") and jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
-        kd = jax.random.key_data(key)
+        kd, kd2 = jax.random.key_data(kd), jax.random.key_data(kd2)
     return jax.random.wrap_key_data(
-        jnp.concatenate([kd.reshape(-1), kd.reshape(-1)]), impl="rbg"
+        jnp.concatenate([kd.reshape(-1), kd2.reshape(-1)]), impl="rbg"
     )
 
 
@@ -141,15 +150,15 @@ class GlobalHead(nn.Module):
         S = c.mc_samples
         P = jnp.einsum("nca,caf->ncf", xt, k0)            # (n, C, F)
         m2d = jnp.where(
-            jax.random.bernoulli(_fast_key(r2d), keep2d, (n, S, ch)),
+            jax.random.bernoulli(_fast_key(r2d, c.mc_fast_rng), keep2d, (n, S, ch)),
             jnp.asarray(1.0 / keep2d, self.dtype),
             jnp.zeros((), self.dtype),
         )                          # pre-scaled: folds the /keep2d rescale
         pre0 = jnp.einsum("nsc,ncf->nsf", m2d, P) + b0
         h = nn.relu(pre0)                                 # (n, S, F)
-        h = h * _dropout_mask(_fast_key(r0), keep, h.shape, self.dtype)
+        h = h * _dropout_mask(_fast_key(r0, c.mc_fast_rng), keep, h.shape, self.dtype)
         h = nn.relu(fc1(h))
-        h = h * _dropout_mask(_fast_key(r1), keep, h.shape, self.dtype)
+        h = h * _dropout_mask(_fast_key(r1, c.mc_fast_rng), keep, h.shape, self.dtype)
         out = fc_reg(h).astype(jnp.float32)               # (n, S, D)
 
         mean = jnp.mean(out, axis=1)

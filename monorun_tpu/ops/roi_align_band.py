@@ -117,20 +117,140 @@ def _band_kernel(
             cls = cb * COL_BLK
             tile = band_ref[
                 slot, pl.ds(row_off, th), pl.ds(c0, cls), :
-            ].reshape(th, cls * c)
-            t1 = jnp.dot(
+            ]                                       # (th, cls, C)
+            # contract the ROW dim of the 3D tile directly: reshaping to
+            # (th, cls*C) first moves the row dim into sublanes — a full
+            # relayout of the tile per RoI
+            t1 = jax.lax.dot_general(
                 y_ref[r], tile,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).reshape(-1, cls, c)                   # (oh, cls, C)
+            )                                       # (oh, cls, C)
             out = jax.lax.dot_general(
                 x_ref[r][:, :cls], t1,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                       # (ow, oh, C)
-            out_ref[r] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
+            out_ref[r] = out.astype(out_ref.dtype)   # (ow, oh, C) raw
 
         for cb in range(1, ncq + 1):
             @pl.when(ncb_ref[i] == cb)
+            def _():
+                comp(cb)
+
+
+KPACK = 4               # RoIs K-stacked per interp matmul (4 * 32 = 128)
+
+
+def _band_kernel_packed(
+    rw0_ref,             # (m_pad,) i32 — 32-row window origin in its buffer
+    c0_ref,              # (m_pad,) i32 — 16-snapped in-row origin
+    ncb_ref,             # (m_pad,) i32 — col blocks of 32 touched
+    bbuf_ref,            # (nblk,) i32 — band's pyramid buffer id
+    bstart_ref,          # (nblk,) i32 — band's first resident row
+    bnew_ref,            # (nblk,) i32 — 1 if this block starts a new band
+    bslot_ref,           # (nblk,) i32 — which of the 2 band slots
+    *refs,
+    nbufs: int,
+    kroi: int,
+    th: int,
+    tw: int,
+    rp_list: Tuple[int, ...],
+):
+    """K-packed variant of _band_kernel — identical band DMA schedule,
+    but the per-RoI interp matmuls are batched 4 RoIs at a time.
+
+    The per-RoI stage-1 matmul Y (7, 32) @ tile uses one MXU K-block of
+    128 where only 32 rows carry data — 4x wasted MXU blocks. Stacking
+    KPACK=4 RoIs' tiles along K (4 * 32 = 128) with a block-diagonal Y
+    (28, 128) computes the same products in a quarter of the blocks. The
+    zero off-diagonal blocks contribute exact 0.0 terms, so the result
+    matches the unpacked kernel to f32 accumulation-order rounding. The
+    K-stack is assembled with LAYOUT-PRESERVING 3D block copies (row dim
+    stays leading, (col, C) stay (sublane, lane)) and contracted with a
+    3D dot_general — reshaping tiles to (rows, cls*C) would relayout
+    every tile through the sublanes twice.
+
+    refs = [buf_0..buf_{nbufs-1}, y_ref, x_ref, out_ref,
+            band, y4, kstack, sem].
+    """
+    bufs = refs[:nbufs]
+    (y_ref, x_ref, out_ref, band_ref, y4_ref, ks_ref,
+     sem) = refs[nbufs:]
+    blk = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    ncq = tw // COL_BLK
+    c = band_ref.shape[-1]
+    oh = y_ref.shape[1]
+    ow = x_ref.shape[1]
+    P = KPACK
+
+    def band_dma(bidx, action):
+        bbuf, bstart, slot = bbuf_ref[bidx], bstart_ref[bidx], bslot_ref[bidx]
+        for b in range(nbufs):
+            @pl.when(bbuf == b)
+            def _():
+                cp = pltpu.make_async_copy(
+                    bufs[b].at[pl.ds(bstart, BAND_ROWS), :, :],
+                    band_ref.at[slot, :, : rp_list[b], :],
+                    sem.at[slot],
+                )
+                cp.start() if action == "start" else cp.wait()
+
+    @pl.when(blk == 0)
+    def _():
+        band_dma(0, "start")
+        # off-diagonal Y4 blocks are never written again: zero once
+        y4_ref[...] = jnp.zeros_like(y4_ref)
+
+    @pl.when(bnew_ref[blk] == 1)
+    def _():
+        band_dma(blk, "wait")
+
+    @pl.when((blk + 1 < nblk) & (bnew_ref[blk + 1] == 1))
+    def _():
+        band_dma(blk + 1, "start")
+
+    slot = bslot_ref[blk]
+    bstart = bstart_ref[blk]
+    for h in range(kroi // P):
+        base = h * P
+        # group tier: widest column tier among the 4 packed RoIs (the
+        # in-band sort orders by tier, so mixed groups are rare)
+        tier = ncb_ref[blk * kroi + base]
+        for i in range(1, P):
+            tier = jnp.maximum(tier, ncb_ref[blk * kroi + base + i])
+
+        # block-diagonal Y: static (7, 32) positions, always overwritten
+        for i in range(P):
+            y4_ref[i * oh:(i + 1) * oh, i * th:(i + 1) * th] = (
+                y_ref[base + i]
+            )
+
+        def comp(cb):
+            cls = cb * COL_BLK
+            for i in range(P):
+                idx = blk * kroi + base + i
+                row_off = rw0_ref[idx] - bstart
+                c0 = pl.multiple_of(c0_ref[idx], 16)
+                ks_ref[i * th:(i + 1) * th, :cls, :] = band_ref[
+                    slot, pl.ds(row_off, th), pl.ds(c0, cls), :
+                ]
+            t1 = jax.lax.dot_general(
+                y4_ref[...], ks_ref[:, :cls, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                       # (P*oh, cls, C)
+            for i in range(P):
+                out = jax.lax.dot_general(
+                    x_ref[base + i][:, :cls], t1[i * oh:(i + 1) * oh],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                   # (ow, oh, C)
+                out_ref[base + i] = out.astype(out_ref.dtype)  # raw
+
+        for cb in range(1, ncq + 1):
+            @pl.when(tier == cb)
             def _():
                 comp(cb)
 
@@ -145,14 +265,24 @@ def multilevel_roi_align_band(
     tile_hw: Tuple[int, int] = (32, 96),
     kroi: int = 8,
     pyramid=None,
+    packed: bool = False,
 ) -> Array:
-    """Band-sweep RoIAlign; semantics == multilevel_roi_align (gather)."""
+    """Band-sweep RoIAlign; semantics == multilevel_roi_align (gather).
+
+    ``packed`` batches the interp matmuls 4 RoIs at a time along the MXU
+    contraction (see _band_kernel_packed); exact up to f32 accumulation
+    order. Measured on v5e at 8016 proposal-mix RoIs (batch 8): packed
+    19.1 ms vs unpacked 16.4 — the K-stack VMEM copies cost more than
+    the saved MXU K-blocks, so the per-RoI kernel stays the default;
+    the packed path is kept for future re-evaluation and is covered by
+    the same oracle tests."""
     C = features[0].shape[-1]
     oh, ow = out_size
     assert oh == ow, "dual-orientation tiles require square outputs"
     n = rois.shape[0]
     Th, Tw = tile_hw
     assert Th <= MAX_TH and Tw <= MAX_TW and Th <= BAND_STEP
+    packed = packed and kroi % KPACK == 0   # packing needs whole groups
     fdtype = features[0].dtype
 
     if pyramid is None:
@@ -209,7 +339,12 @@ def multilevel_roi_align_band(
     # (.at[slot].set) lowered to TPU scatters that cost ~25 ms/step at 8k
     # RoIs — more than the kernel itself. Instead each padded slot
     # computes which sorted RoI it reads (src_orig) and gathers.
-    order = jnp.argsort(band)                             # stable
+    # packed mode additionally orders by column tier WITHIN each band so
+    # the groups of KPACK RoIs are (mostly) tier-homogeneous — a mixed
+    # group computes at the widest member's tier. The band bookkeeping
+    # below only depends on band order, which both keys preserve.
+    sort_key = band * 4 + ncb if packed else band
+    order = jnp.argsort(sort_key)                         # stable
     band_sorted = band[order]
     # cum_counts[k] = #RoIs in bands < k. A (m, n_bands) compare-sum:
     # jnp.searchsorted lowers to a vectorized binary-search while-loop
@@ -273,9 +408,23 @@ def multilevel_roi_align_band(
     )
     blk_slot = ((jnp.cumsum(blk_new) - 1) % 2).astype(jnp.int32)
 
+    if packed:
+        kernel = _band_kernel_packed
+        scratch = [
+            pltpu.VMEM((2, BAND_ROWS, wmax, C), fdtype),
+            pltpu.VMEM((KPACK * oh, KPACK * Th), fdtype),   # Y block-diag
+            pltpu.VMEM((KPACK * Th, Tw, C), fdtype),        # tile K-stack
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = _band_kernel
+        scratch = [
+            pltpu.VMEM((2, BAND_ROWS, wmax, C), fdtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     out = pl.pallas_call(
         functools.partial(
-            _band_kernel, nbufs=nbufs, kroi=kroi, th=Th, tw=Tw,
+            kernel, nbufs=nbufs, kroi=kroi, th=Th, tw=Tw,
             rp_list=rp_list,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -291,10 +440,7 @@ def multilevel_roi_align_band(
             out_specs=pl.BlockSpec(
                 (kroi, oh, ow, C), lambda i, *_: (i, 0, 0, 0)
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, BAND_ROWS, wmax, C), fdtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((m_pad, oh, ow, C), fdtype),
         compiler_params=pltpu.CompilerParams(
@@ -308,7 +454,10 @@ def multilevel_roi_align_band(
     # (argsort(order) inverts the permutation without a TPU scatter)
     slot_of_orig = slot_sorted[jnp.argsort(order)]
     out = out[slot_of_orig]
+    # kernels emit (ow, oh, C) raw: transposed RoIs are already
+    # (oh, ow), row-major ones swap here — one fused where either way,
+    # and the per-RoI swap relayout inside the kernel disappears
     out = jnp.where(
-        tmask[:, None, None, None], jnp.swapaxes(out, 1, 2), out
+        tmask[:, None, None, None], out, jnp.swapaxes(out, 1, 2)
     )
     return out[:n]

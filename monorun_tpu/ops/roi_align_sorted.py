@@ -150,17 +150,19 @@ def _sorted_kernel(
 
         def comp(cb):
             cls = cb * COL_BLK
-            tile = tile_ref[slot, r, :, :cls, :].reshape(th, cls * c)
-            t1 = jnp.dot(
-                y_ref[r], tile,
+            # 3D dot_general on the raw tile — the (th, cls*C) reshape is
+            # a sublane relayout (band kernel A/B: 19.4 -> 16.4 ms)
+            t1 = jax.lax.dot_general(
+                y_ref[r], tile_ref[slot, r, :, :cls, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).reshape(-1, cls, c)                   # (oh, cls, C)
+            )                                       # (oh, cls, C)
             out = jax.lax.dot_general(
                 x_ref[r][:, :cls], t1,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                       # (ow, oh, C)
-            out_ref[r] = jnp.swapaxes(out, 0, 1).astype(out_ref.dtype)
+            out_ref[r] = out.astype(out_ref.dtype)   # (ow, oh, C) raw
 
         for cb in range(1, ncq + 1):
             @pl.when(ncb_ref[i] == cb)
@@ -247,7 +249,10 @@ def multilevel_roi_align_sorted(
     )(rw0_p, c0_p, ncb_p, blk_buf, *bufs, Y_p, X_p)
 
     out = out[slot_of_orig]
+    # kernels emit (ow, oh, C) raw: transposed RoIs are already
+    # (oh, ow), row-major ones swap here — one fused where either way,
+    # and the per-RoI swap relayout inside the kernel disappears
     out = jnp.where(
-        tmask[:, None, None, None], jnp.swapaxes(out, 1, 2), out
+        tmask[:, None, None, None], out, jnp.swapaxes(out, 1, 2)
     )
     return out[:n]

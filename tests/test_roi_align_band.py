@@ -88,11 +88,15 @@ def test_band_extreme_aspect_and_degenerate():
         feats, rois, strides, (7, 7), 10.0,
         sampling_ratio=0, max_ratio=3, long_span_cap=96 - 18,
     )
-    with _interpret_pallas():
-        got = rab.multilevel_roi_align_band(
-            feats, rois, strides, (7, 7), 10.0, max_ratio=3, kroi=2,
+    # kroi=2 exercises the unpacked fallback (kroi % KPACK != 0); kroi=4
+    # exercises the K-packed kernel on the same degenerate boxes, where
+    # one group mixes tiers and contains the zero-size dummy
+    for kroi in (2, 4):
+        with _interpret_pallas():
+            got = rab.multilevel_roi_align_band(
+                feats, rois, strides, (7, 7), 10.0, max_ratio=3, kroi=kroi,
+            )
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
-    assert np.isfinite(np.asarray(got)).all()
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
-    )
