@@ -138,13 +138,29 @@ class MonoRUn(nn.Module):
         img_shapes: Array,      # (B, 2) true (h, w) before padding
         rng: Array,
     ) -> Detections:
+        feats = self.extract_feats(images)
+        return self.heads_forward(
+            feats, cam_intrinsic, img_shapes, rng,
+            pad_shape=(images.shape[1], images.shape[2]),
+        )
+
+    def heads_forward(
+        self,
+        feats,                  # backbone+neck pyramid (extract_feats)
+        cam_intrinsic: Array,   # (B, 3, 3)
+        img_shapes: Array,      # (B, 2) true (h, w) before padding
+        rng: Array,
+        pad_shape: Tuple[int, int],
+    ) -> Detections:
+        """RPN → proposals → aligns → heads → PnP → 3D NMS: everything
+        after the backbone+neck. Split from ``__call__`` so cold-start
+        warm-up (utils/warm_start.py) can compile it concurrently with
+        ``extract_feats`` and the Pallas align kernel micro-programs."""
         cfg = self.cfg
         tc = cfg.test
-        B = images.shape[0]
+        B = cam_intrinsic.shape[0]
         M = tc.max_per_img
-        pad_shape = (images.shape[1], images.shape[2])
 
-        feats = self.extract_feats(images)
         cls_scores, bbox_preds = self.run_rpn(feats)
         proposals, prop_valid = get_proposals(
             cls_scores, bbox_preds, cfg.rpn, pad_shape,
@@ -819,7 +835,9 @@ def _train_forward(
 MonoRUn.train_forward = _train_forward
 
 
-def _fast_init_variables(model: "MonoRUn", rng: Array, image_shape):
+def _fast_init_variables(
+    model: "MonoRUn", rng: Array, image_shape, chunks: int = 8
+):
     """Structural init that never compiles the forward graph.
 
     ``jax.jit(model.init)`` compiles the ENTIRE inference program just to
@@ -848,45 +866,75 @@ def _fast_init_variables(model: "MonoRUn", rng: Array, image_shape):
     )
     flat, treedef = jax.tree_util.tree_flatten_with_path(abstract)
 
-    # one flat normal draw feeds every kernel (per-leaf fold_in/threefry
-    # setups made the build program itself expensive to compile); each
-    # kernel slice is scaled to lecun std = 1/sqrt(fan_in). Plain normal
-    # instead of flax's truncated normal — statistically equivalent for
-    # serving/bench purposes (checkpoints overwrite values anyway).
-    sizes, offs = [], []
-    off = 0
-    for path, sds in flat:
-        names = [str(getattr(p, "key", p)) for p in path]
-        is_kernel = (
-            names[-1] == "kernel" and len(sds.shape) >= 2
-            and "latent_decoder" not in names
-        )
-        offs.append(off)
-        n = int(np.prod(sds.shape)) if is_kernel else 0
-        sizes.append(n)
-        off += n
-    total = max(off, 1)
-
-    def build(key):
-        pool = jax.random.normal(key, (total,), jnp.float32)
-        leaves = []
-        for (path, sds), o, n in zip(flat, offs, sizes):
+    # one flat normal draw per CHUNK feeds that chunk's kernels (per-leaf
+    # fold_in/threefry setups made the build program itself expensive to
+    # compile); each kernel slice is scaled to lecun std = 1/sqrt(fan_in).
+    # Plain normal instead of flax's truncated normal — statistically
+    # equivalent for serving/bench purposes (checkpoints overwrite values
+    # anyway). The build is split into ``chunks`` independent programs
+    # compiled in parallel threads: ONE whole-tree build program measured
+    # 110-250 s cold through the remote-TPU tunnel (the single largest
+    # cold-start item after the kernel warm-up landed), while the chunked
+    # compiles overlap on the compile service.
+    def chunk_leaves(sub):
+        sizes, offs = [], []
+        off = 0
+        for path, sds in sub:
             names = [str(getattr(p, "key", p)) for p in path]
-            last = names[-1]
-            if n > 0:
-                fan_in = int(np.prod(sds.shape[:-1]))
-                v = (
-                    pool[o : o + n].reshape(sds.shape)
-                    / np.sqrt(float(fan_in))
-                ).astype(sds.dtype)
-            elif last in ("scale", "var"):
-                v = jnp.ones(sds.shape, sds.dtype)
-            else:  # bias / mean / zero-init kernels / EMA scalars
-                v = jnp.zeros(sds.shape, sds.dtype)
-            leaves.append(v)
-        return jax.tree_util.tree_unflatten(treedef, leaves)
+            is_kernel = (
+                names[-1] == "kernel" and len(sds.shape) >= 2
+                and "latent_decoder" not in names
+            )
+            offs.append(off)
+            n = int(np.prod(sds.shape)) if is_kernel else 0
+            sizes.append(n)
+            off += n
+        total = max(off, 1)
 
-    return jax.jit(build)(rng)
+        def build(key):
+            pool = jax.random.normal(key, (total,), jnp.float32)
+            leaves = []
+            for (path, sds), o, n in zip(sub, offs, sizes):
+                names = [str(getattr(p, "key", p)) for p in path]
+                last = names[-1]
+                if n > 0:
+                    fan_in = int(np.prod(sds.shape[:-1]))
+                    v = (
+                        pool[o : o + n].reshape(sds.shape)
+                        / np.sqrt(float(fan_in))
+                    ).astype(sds.dtype)
+                elif last in ("scale", "var"):
+                    v = jnp.ones(sds.shape, sds.dtype)
+                else:  # bias / mean / zero-init kernels / EMA scalars
+                    v = jnp.zeros(sds.shape, sds.dtype)
+                leaves.append(v)
+            return tuple(leaves)
+
+        return build
+
+    chunks = max(1, min(chunks, len(flat)))
+    bounds = [
+        (len(flat) * c) // chunks for c in range(chunks + 1)
+    ]
+    spans = [
+        (bounds[c], bounds[c + 1])
+        for c in range(chunks) if bounds[c] < bounds[c + 1]
+    ]
+    builders = [
+        jax.jit(chunk_leaves(flat[a:b])) for a, b in spans
+    ]
+
+    import concurrent.futures as _fut
+
+    with _fut.ThreadPoolExecutor(max_workers=len(builders)) as ex:
+        parts = list(
+            ex.map(
+                lambda ib: ib[1](jax.random.fold_in(rng, ib[0])),
+                enumerate(builders),
+            )
+        )
+    leaves = [leaf for part in parts for leaf in part]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def init_detector(

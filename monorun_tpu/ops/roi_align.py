@@ -533,8 +533,10 @@ def multilevel_roi_align_auto(
 
             return multilevel_roi_align_band(
                 features, rois, strides, out_size, finest_scale,
-                max_ratio=max_ratio, tile_hw=(tile_h, 96), kroi=8,
+                max_ratio=max_ratio, tile_hw=(tile_h, 96),
+                kroi=int(os.environ.get("MONORUN_BAND_KROI", "8")),
                 pyramid=pyramid,
+                tiered=os.environ.get("MONORUN_BAND_TIERED", "0") == "1",
             )
 
         # small/medium counts: sorted-by-buffer per-RoI DMA (one

@@ -139,6 +139,91 @@ def _band_kernel(
                 comp(cb)
 
 
+def _band_kernel_tiered(
+    rw0_ref,             # (m_pad,) i32 — 32-row window origin in its buffer
+    c0_ref,              # (m_pad,) i32 — 16-snapped in-row origin
+    ncb_ref,             # (nblk,) i32 — BLOCK-uniform col tier (1..ncq)
+    bbuf_ref,            # (nblk,) i32 — band's pyramid buffer id
+    bstart_ref,          # (nblk,) i32 — band's first resident row
+    bnew_ref,            # (nblk,) i32 — 1 if this block starts a new band
+    bslot_ref,           # (nblk,) i32 — which of the 2 band slots
+    *refs,
+    nbufs: int,
+    kroi: int,
+    th: int,
+    tw: int,
+    rp_list: Tuple[int, ...],
+):
+    """Tier-homogeneous variant of _band_kernel.
+
+    The per-RoI kernel predicates the interp matmuls on the RoI's column
+    tier — ncq (=3) ``pl.when`` regions per RoI, kroi * ncq per block.
+    Mosaic serializes predicated regions, so at proposal scale the branch
+    machinery rivals the matmuls themselves. Here RoIs are bucketed by
+    (band, tier) host-side (each kroi-block is tier-uniform by
+    construction, like the buffer id already was), so the tier branch
+    runs ONCE per block and every per-RoI body is branch-free. Costs
+    ~(kroi-1)/2 extra padded slots per (band, tier) run vs per-band runs.
+    """
+    bufs = refs[:nbufs]
+    y_ref, x_ref, out_ref, band_ref, sem = refs[nbufs:]
+    blk = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    ncq = tw // COL_BLK
+
+    def band_dma(bidx, action):
+        bbuf, bstart, slot = bbuf_ref[bidx], bstart_ref[bidx], bslot_ref[bidx]
+        for b in range(nbufs):
+            @pl.when(bbuf == b)
+            def _():
+                cp = pltpu.make_async_copy(
+                    bufs[b].at[pl.ds(bstart, BAND_ROWS), :, :],
+                    band_ref.at[slot, :, : rp_list[b], :],
+                    sem.at[slot],
+                )
+                cp.start() if action == "start" else cp.wait()
+
+    @pl.when(blk == 0)
+    def _():
+        band_dma(0, "start")
+
+    @pl.when(bnew_ref[blk] == 1)
+    def _():
+        band_dma(blk, "wait")
+
+    @pl.when((blk + 1 < nblk) & (bnew_ref[blk + 1] == 1))
+    def _():
+        band_dma(blk + 1, "start")
+
+    slot = bslot_ref[blk]
+    bstart = bstart_ref[blk]
+
+    def comp(r, cls):
+        i = blk * kroi + r
+        row_off = rw0_ref[i] - bstart
+        c0 = pl.multiple_of(c0_ref[i], 16)
+        tile = band_ref[
+            slot, pl.ds(row_off, th), pl.ds(c0, cls), :
+        ]                                           # (th, cls, C)
+        t1 = jax.lax.dot_general(
+            y_ref[r], tile,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # (oh, cls, C)
+        out = jax.lax.dot_general(
+            x_ref[r][:, :cls], t1,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # (ow, oh, C)
+        out_ref[r] = out.astype(out_ref.dtype)       # (ow, oh, C) raw
+
+    for cb in range(1, ncq + 1):
+        @pl.when(ncb_ref[blk] == cb)
+        def _():
+            for r in range(kroi):
+                comp(r, cb * COL_BLK)
+
+
 KPACK = 4               # RoIs K-stacked per interp matmul (4 * 32 = 128)
 
 
@@ -266,6 +351,7 @@ def multilevel_roi_align_band(
     kroi: int = 8,
     pyramid=None,
     packed: bool = False,
+    tiered: bool = False,
 ) -> Array:
     """Band-sweep RoIAlign; semantics == multilevel_roi_align (gather).
 
@@ -275,14 +361,25 @@ def multilevel_roi_align_band(
     19.1 ms vs unpacked 16.4 — the K-stack VMEM copies cost more than
     the saved MXU K-blocks, so the per-RoI kernel stays the default;
     the packed path is kept for future re-evaluation and is covered by
-    the same oracle tests."""
+    the same oracle tests.
+
+    ``tiered`` buckets RoIs by (band, column tier) instead of band alone,
+    making every kroi-block tier-uniform so the kernel's column-tier
+    branch runs once per block instead of once per RoI (see
+    _band_kernel_tiered). Exact same outputs (oracle-tested, and
+    bitwise-equal to the unpacked kernel on TPU). Measured at 8016
+    proposal-mix RoIs (batch 8, v5e): 30.0 ms vs 16-22 unpacked — the
+    ~14% extra padded blocks plus ncq kroi-RoI predicated bodies (3x the
+    predicated code) outweigh the removed per-RoI branches, so per-RoI
+    tier branches stay the default; kept for re-evaluation on future
+    Mosaic versions."""
     C = features[0].shape[-1]
     oh, ow = out_size
     assert oh == ow, "dual-orientation tiles require square outputs"
     n = rois.shape[0]
     Th, Tw = tile_hw
     assert Th <= MAX_TH and Tw <= MAX_TW and Th <= BAND_STEP
-    packed = packed and kroi % KPACK == 0   # packing needs whole groups
+    packed = packed and not tiered and kroi % KPACK == 0  # whole groups
     fdtype = features[0].dtype
 
     if pyramid is None:
@@ -334,57 +431,69 @@ def multilevel_roi_align_band(
         )
         return bbuf, jnp.clip(start, 0, None).astype(jnp.int32)
 
-    # ---- sort by band, pad each band to a multiple of kroi ---------------
+    # ---- sort by band (or (band, tier)), pad runs to kroi multiples -------
     # everything below is GATHER-only: scattering Y/X into padded slots
     # (.at[slot].set) lowered to TPU scatters that cost ~25 ms/step at 8k
     # RoIs — more than the kernel itself. Instead each padded slot
     # computes which sorted RoI it reads (src_orig) and gathers.
     # packed mode additionally orders by column tier WITHIN each band so
     # the groups of KPACK RoIs are (mostly) tier-homogeneous — a mixed
-    # group computes at the widest member's tier. The band bookkeeping
-    # below only depends on band order, which both keys preserve.
-    sort_key = band * 4 + ncb if packed else band
+    # group computes at the widest member's tier. tiered mode buckets by
+    # (band, tier) outright so every block is tier-uniform (ncb becomes a
+    # per-BLOCK input). The band bookkeeping only depends on band order,
+    # which every key here preserves.
+    ncq = Tw // COL_BLK
+    if tiered:
+        group = band * (ncq + 1) + ncb                    # tier in 1..ncq
+        n_groups = int(n_bands * (ncq + 1))
+        worst_runs = n_bands * ncq
+    else:
+        group = band
+        n_groups = n_bands
+        worst_runs = n_bands
+    sort_key = band * 4 + ncb if packed else group
     order = jnp.argsort(sort_key)                         # stable
-    band_sorted = band[order]
-    # cum_counts[k] = #RoIs in bands < k. A (m, n_bands) compare-sum:
+    group_sorted = group[order]
+    # cum_counts[k] = #RoIs in groups < k. A (m, n_groups) compare-sum:
     # jnp.searchsorted lowers to a vectorized binary-search while-loop
     # that profiled 1.5 ms/step at 8k RoIs; a scatter-add histogram is a
     # TPU scatter (worse). The brute compare matrix is ~3M lane ops.
     cum_counts = jnp.sum(
-        band[:, None] < jnp.arange(n_bands + 1, dtype=jnp.int32)[None, :],
+        group[:, None] < jnp.arange(n_groups + 1, dtype=jnp.int32)[None, :],
         axis=0, dtype=jnp.int32,
     )
-    counts = cum_counts[1:] - cum_counts[:-1]             # (n_bands,)
+    counts = cum_counts[1:] - cum_counts[:-1]             # (n_groups,)
     padded = ((counts + kroi - 1) // kroi) * kroi
     cum_padded = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)]
     )
-    # slot of sorted element j: pad_off[band_j] + rank within its band
-    rank = jnp.arange(m, dtype=jnp.int32) - cum_counts[band_sorted]
-    slot_sorted = cum_padded[band_sorted] + rank          # (m,)
+    # slot of sorted element j: pad_off[group_j] + rank within its group
+    rank = jnp.arange(m, dtype=jnp.int32) - cum_counts[group_sorted]
+    slot_sorted = cum_padded[group_sorted] + rank         # (m,)
 
-    m_pad = ((m + (kroi - 1) * n_bands + kroi - 1) // kroi) * kroi
+    m_pad = ((m + (kroi - 1) * worst_runs + kroi - 1) // kroi) * kroi
     nblk = m_pad // kroi
 
-    # per-slot band id (compare-sum, not searchsorted — see cum_counts);
-    # trailing slots (beyond all real bands) clip to the last band —
+    # per-slot group id (compare-sum, not searchsorted — see cum_counts);
+    # trailing slots (beyond all real groups) clip to the last group —
     # their RoIs are dummies with zero interp weights
-    band_slotted = jnp.clip(
+    group_slotted = jnp.clip(
         jnp.sum(
             cum_padded[None, :] <= jnp.arange(m_pad, dtype=jnp.int32)[:, None],
             axis=1, dtype=jnp.int32,
         ) - 1,
-        0, n_bands - 1,
+        0, n_groups - 1,
     )
+    band_slotted = group_slotted // (ncq + 1) if tiered else group_slotted
     dummy_buf, dummy_start = band_start_of(band_slotted)
 
     # which original RoI each padded slot reads; dummy slots (rank past
-    # their band's real count) clamp to an arbitrary in-band RoI and are
-    # masked to zero weights / band-start reads below
-    rank_p = jnp.arange(m_pad, dtype=jnp.int32) - cum_padded[band_slotted]
-    cnt_p = counts[band_slotted]
+    # their group's real count) clamp to an arbitrary in-group RoI and
+    # are masked to zero weights / band-start reads below
+    rank_p = jnp.arange(m_pad, dtype=jnp.int32) - cum_padded[group_slotted]
+    cnt_p = counts[group_slotted]
     valid_p = rank_p < cnt_p
-    src_sorted = cum_counts[band_slotted] + jnp.minimum(
+    src_sorted = cum_counts[group_slotted] + jnp.minimum(
         rank_p, jnp.maximum(cnt_p - 1, 0)
     )
     src_orig = order[jnp.clip(src_sorted, 0, m - 1)]      # (m_pad,)
@@ -407,8 +516,18 @@ def multilevel_roi_align_band(
          (blk_band[1:] != blk_band[:-1]).astype(jnp.int32)]
     )
     blk_slot = ((jnp.cumsum(blk_new) - 1) % 2).astype(jnp.int32)
+    if tiered:
+        # block-uniform column tier (trailing dummy blocks clip to the
+        # last group; their slots have zero weights, any tier is safe)
+        ncb_p = jnp.maximum(group_slotted[:: kroi] % (ncq + 1), 1)
 
-    if packed:
+    if tiered:
+        kernel = _band_kernel_tiered
+        scratch = [
+            pltpu.VMEM((2, BAND_ROWS, wmax, C), fdtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    elif packed:
         kernel = _band_kernel_packed
         scratch = [
             pltpu.VMEM((2, BAND_ROWS, wmax, C), fdtype),

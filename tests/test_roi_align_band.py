@@ -45,10 +45,11 @@ def _boxes(n, B, H, W, seed=0, max_w=60.0, max_h=40.0):
     return jnp.asarray(np.stack([b, x1, y1, x2, y2], 1).astype(np.float32))
 
 
+@pytest.mark.parametrize("tiered", [False, True])
 @pytest.mark.parametrize(
     "out_size,finest,max_ratio", [((7, 7), 10.0, 3), ((14, 14), 14.0, 2)]
 )
-def test_band_matches_gather_oracle(out_size, finest, max_ratio):
+def test_band_matches_gather_oracle(out_size, finest, max_ratio, tiered):
     strides = (2, 4, 8, 16)
     feats = _pyramid()
     rois = _boxes(24, 2, 64, 128)
@@ -59,7 +60,7 @@ def test_band_matches_gather_oracle(out_size, finest, max_ratio):
     with _interpret_pallas():
         got = rab.multilevel_roi_align_band(
             feats, rois, strides, out_size, finest,
-            max_ratio=max_ratio, kroi=4,
+            max_ratio=max_ratio, kroi=4, tiered=tiered,
         )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5

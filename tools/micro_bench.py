@@ -99,6 +99,7 @@ def main():
 
     rois7k = mk_rois(1000)
     rois100 = mk_rois(100)
+    rois48 = mk_rois(48)      # serving head_slots count
 
     from monorun_tpu.ops.roi_align import (
         multilevel_roi_align_auto, prepare_pyramid,
@@ -113,16 +114,28 @@ def main():
 
     pyr = None  # build inside the timed fn? no — share like detector does
 
-    def align(rois, size, mr, th, fs):
+    def align(rois, size, mr, th, fs, impl=None):
         def f(*a):
+            import os as _os
+
             fl = a[: len(fs)]
             r = a[len(fs)]
             pyr = prepare_pyramid(fl)
-            return multilevel_roi_align_auto(
-                fl, r, strides[: len(fs)], size,
-                20.0 if size == (7, 7) else 28.0,
-                max_ratio=mr, tile_h=th, pyramid=pyr,
-            )
+            prev = _os.environ.get("MONORUN_ALIGN_IMPL")
+            if impl is not None:
+                _os.environ["MONORUN_ALIGN_IMPL"] = impl
+            try:
+                return multilevel_roi_align_auto(
+                    fl, r, strides[: len(fs)], size,
+                    20.0 if size == (7, 7) else 28.0,
+                    max_ratio=mr, tile_h=th, pyramid=pyr,
+                )
+            finally:
+                if impl is not None:
+                    if prev is None:
+                        _os.environ.pop("MONORUN_ALIGN_IMPL", None)
+                    else:
+                        _os.environ["MONORUN_ALIGN_IMPL"] = prev
         return f
 
     if "align7k" in OPS:
@@ -140,6 +153,20 @@ def main():
             "align14_100", align(rois100, (14, 14), 2, 32, feats),
             *feats, rois100,
         )
+    # detection-scale A/B at the serving head_slots count (48/img):
+    # sorted Pallas kernel vs XLA gather lowering
+    if "align48" in OPS:
+        for impl in ("sorted", "gather"):
+            timeit(
+                f"align7_48[{impl}]",
+                align(rois48, (7, 7), 3, 24, feats, impl=impl),
+                *feats, rois48,
+            )
+            timeit(
+                f"align14_48[{impl}]",
+                align(rois48, (14, 14), 2, 32, feats, impl=impl),
+                *feats, rois48,
+            )
 
     n_det = B * 100
     if "global" in OPS:
