@@ -59,10 +59,23 @@ class InferenceSession:
     """
 
     def __init__(self, cfg: MonoRUnConfig, variables, batch_size: int = 1,
-                 mesh=None, freeze: str = "none"):
+                 mesh=None, freeze: str = "none", warm: bool = True):
         self.cfg = cfg
         self.model = MonoRUn(cfg)
         self.mesh = mesh
+        # parallel cold-start warm-up: AOT-compile backbone / heads /
+        # align-kernel pieces concurrently so the serving jit below
+        # assembles from warm sub-compiles (utils/warm_start.py; cuts a
+        # fresh-environment first batch from 625-869 s to ~170 s).
+        # Best-effort: single-device TPU only (sharded programs have
+        # different per-shard content), and never fatal.
+        if warm and mesh is None and jax.default_backend() == "tpu":
+            try:
+                from ..utils.warm_start import warm_start
+
+                warm_start(cfg, self.model, batch_size)
+            except Exception as e:  # pragma: no cover - best effort
+                print(f"[InferenceSession] warm_start skipped: {e}")
         if mesh is not None:
             from ..parallel import replicate
 

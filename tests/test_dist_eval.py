@@ -133,6 +133,7 @@ class _StubDet:
         self.bboxes_3d = r.uniform(0, 1, (B, M, 8)).astype(np.float32)
         self.valid = np.zeros((B, M), bool)
         self.pose_cov = np.tile(np.eye(4, dtype=np.float32), (B, M, 1, 1))
+        self.extras = {}   # debug maps absent (test.debug off)
 
 
 class _StubSession:
