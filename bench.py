@@ -34,6 +34,12 @@ FREEZE = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
 # setting MONORUN_BENCH_CONFIG=kitti_multiclass_fast[_r50] by hand and
 # reported separately in README 'Fast presets'.
 CONFIG = os.environ.get("MONORUN_BENCH_CONFIG", "kitti_multiclass")
+# split=1 serves via the TWO warm-start executables (backbone, heads)
+# called back to back instead of one monolithic jit: the first batch then
+# pays ~0 extra compile on top of the warm-up itself. Requires
+# freeze="none" (the executables take the full variable tree as an arg).
+SPLIT = os.environ.get("MONORUN_SPLIT", "1" if FREEZE == "none" else "0")
+SPLIT = SPLIT == "1" and FREEZE == "none"
 ITERS = 20
 
 
@@ -56,17 +62,24 @@ def main():
     # while the structural init builds parameters — the final jit below
     # then assembles from warm sub-compiles (utils/warm_start.py)
     warm_times = {}
+    warm_progs = {}
 
     def _warm():
         from monorun_tpu.models.detector import MonoRUn
         from monorun_tpu.utils.warm_start import warm_start
 
-        warm_times.update(
-            warm_start(cfg, MonoRUn(cfg), BATCH, verbose=True)
+        pieces = ("band", "sorted7", "sorted14", "backbone", "heads")
+        if SPLIT:
+            pieces += ("carry_in", "checksum")
+        times, progs = warm_start(
+            cfg, MonoRUn(cfg), BATCH, verbose=True, return_programs=True,
+            pieces=pieces,
         )
+        warm_times.update(times)
+        warm_progs.update(progs)
 
     warm_thread = None
-    if os.environ.get("MONORUN_WARM_START", "1") == "1":
+    if SPLIT or os.environ.get("MONORUN_WARM_START", "1") == "1":
         warm_thread = threading.Thread(target=_warm, daemon=True)
         warm_thread.start()
 
@@ -130,14 +143,28 @@ def main():
     # inferences inside one program, so the cold metric is the plain
     # program; `carry` threads a data dependency between chained calls
     # for the steady-state measurement below.
-    def fwd(live, img, key, carry):
-        det = model.apply(
-            {**other, "params": {**const_p, **live}},
-            img + carry * 0.0, cam, shapes, key,
-        )
-        return jnp.sum(det.bboxes_3d)
+    if SPLIT:
+        # two chained executables (compiled by the warm-up at exactly
+        # these avals); `_carry_in` keeps the chain's data dependency and
+        # `_checksum` collapses the output — both tiny programs
+        allvars = {**other, "params": params}
+        _carry_in = warm_progs["carry_in"]
+        _checksum = warm_progs["checksum"]
 
-    jfwd = jax.jit(fwd)
+        def jfwd(live, img, key, carry):
+            feats = warm_progs["backbone"](allvars, _carry_in(img, carry))
+            det = warm_progs["heads"](allvars, feats, cam, shapes, key)
+            return _checksum(det)
+
+    else:
+        def fwd(live, img, key, carry):
+            det = model.apply(
+                {**other, "params": {**const_p, **live}},
+                img + carry * 0.0, cam, shapes, key,
+            )
+            return jnp.sum(det.bboxes_3d)
+
+        jfwd = jax.jit(fwd)
 
     t0 = time.time()
     checksum = float(

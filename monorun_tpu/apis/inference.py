@@ -64,16 +64,26 @@ class InferenceSession:
         self.model = MonoRUn(cfg)
         self.mesh = mesh
         # parallel cold-start warm-up: AOT-compile backbone / heads /
-        # align-kernel pieces concurrently so the serving jit below
-        # assembles from warm sub-compiles (utils/warm_start.py; cuts a
-        # fresh-environment first batch from 625-869 s to ~170 s).
+        # align-kernel pieces concurrently (utils/warm_start.py).
         # Best-effort: single-device TPU only (sharded programs have
         # different per-shard content), and never fatal.
+        # In split mode (freeze="none" only) the two executables compiled
+        # by the warm-up — backbone and heads, lowered at the exact
+        # serving avals — ARE the serving program: run() calls them back
+        # to back, so the first batch pays no further compile at all
+        # (bench.py A/B: identical checksums and fps vs the monolith,
+        # compile+first 121.7 s -> ~5 s after warm-up).
+        self._progs = None
         if warm and mesh is None and jax.default_backend() == "tpu":
             try:
                 from ..utils.warm_start import warm_start
 
-                warm_start(cfg, self.model, batch_size)
+                if freeze == "none":
+                    _, self._progs = warm_start(
+                        cfg, self.model, batch_size, return_programs=True
+                    )
+                else:
+                    warm_start(cfg, self.model, batch_size)
             except Exception as e:  # pragma: no cover - best effort
                 print(f"[InferenceSession] warm_start skipped: {e}")
         if mesh is not None:
@@ -102,6 +112,7 @@ class InferenceSession:
         }[freeze]
         const_p = {k: v for k, v in params.items() if k in baked_keys}
         self._live = {k: v for k, v in params.items() if k not in baked_keys}
+        self._allvars = {**other, "params": params}
         self._fn = jax.jit(
             lambda live, img, cam, shp, key: self.model.apply(
                 {**other, "params": {**const_p, **live}},
@@ -123,6 +134,22 @@ class InferenceSession:
                 (jnp.asarray(images), jnp.asarray(cam), jnp.asarray(shapes)),
                 self.mesh,
             )
+        if self._progs is not None:
+            try:
+                feats = self._progs["backbone"](
+                    self._allvars,
+                    jnp.asarray(images, jnp.float32),
+                )
+                return self._progs["heads"](
+                    self._allvars, feats,
+                    jnp.asarray(cam, jnp.float32),
+                    jnp.asarray(shapes, jnp.float32),
+                    jax.random.PRNGKey(seed),
+                )
+            except Exception as e:  # aval mismatch etc. — fall back once
+                print(f"[InferenceSession] split path failed ({e}); "
+                      "falling back to the monolithic program")
+                self._progs = None
         return self._fn(
             self._live, jnp.asarray(images), jnp.asarray(cam),
             jnp.asarray(shapes), jax.random.PRNGKey(seed),
