@@ -37,7 +37,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _tried:
         return None
     _tried = True
-    if not os.path.exists(_LIB) and not _build():
+    stale = not os.path.exists(_LIB) or (
+        os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+    )
+    if stale and not _build() and not os.path.exists(_LIB):
         return None
     try:
         lib = ctypes.CDLL(_LIB)

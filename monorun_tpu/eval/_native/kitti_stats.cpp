@@ -8,6 +8,9 @@
 // pure-numpy fallback when the shared library isn't built.
 //
 // Build: monorun_tpu/eval/_native/build.py (g++ -O2 -shared -fPIC).
+//
+// Lineage: the matching algorithm follows the official KITTI devkit /
+// kitti-object-eval-python protocol — the branch structure is the spec.
 
 #include <cmath>
 #include <cstdint>
@@ -120,6 +123,11 @@ void stats_one(const float* overlaps,  // (num_dt, num_gt) row-major
           }
         }
       }
+    }
+    // devkit edge case (reference eval.py:276-279): no TPs and no FPs in
+    // an image contributes -1 (not 0) to the AOS numerator
+    if (compute_aos && *tp == 0 && *fp == 0) {
+      *sim = -1.0f;
     }
   }
 }

@@ -8,6 +8,14 @@ greedy assignment with ignore semantics, and R40/R11 AP averaging. Pure
 numpy (the reference needs numba + numba-CUDA); an optional C++ kernel
 accelerates the per-image statistics loop when built
 (monorun_tpu/eval/_native).
+
+Lineage: the matching/threshold/filtering ALGORITHM here follows the
+official KITTI devkit protocol as popularized by the public
+kitti-object-eval-python project (which the reference's eval.py also
+descends from) — the branch structure of `clean_data`/`get_thresholds`/
+`compute_statistics` IS that specification; the implementation
+(vectorized numpy overlaps, C-ABI kernels, function decomposition) is
+original.
 """
 
 from __future__ import annotations
@@ -223,8 +231,15 @@ def compute_statistics(
                         nstuff += 1
         fp -= nstuff
         if compute_aos:
+            # devkit edge case (reference eval.py:276-279): an image with
+            # no TPs AND no FPs at this threshold contributes -1 to the
+            # AOS numerator (not 0) — the official protocol's sentinel
+            # is accumulated as-is by fused_compute_statistics
             tmp = [(1.0 + np.cos(d)) / 2.0 for d in delta]
-            similarity = float(np.sum(tmp)) if tmp else 0.0
+            if tp > 0 or fp > 0:
+                similarity = float(np.sum(tmp))
+            else:
+                similarity = -1.0
 
     return tp, fp, fn, similarity, thresholds
 

@@ -211,6 +211,49 @@ def test_short_wrong_class_det_is_ignored_not_removed():
     assert (tp, fp, fn) == (0, 0, 0)
 
 
+def test_aos_similarity_minus_one_when_no_tp_no_fp():
+    """Devkit edge case (reference eval.py:276-279): an image with tp == 0
+    AND fp == 0 at a threshold contributes similarity = -1 (not 0) to the
+    AOS numerator."""
+    from monorun_tpu.eval.kitti_eval import compute_statistics
+
+    gt = _gt(["Car"], [BOX])
+    dt = _dt([BOX], [0.3])
+    _, ig, idt, dc = clean_data(gt, dt, "Car", 0)
+    overlaps = np.ones((1, 1), np.float32)
+    # threshold above the det score: the det is threshold-ignored -> no
+    # TP and no FP -> the sentinel
+    tp, fp, fn, sim, _ = compute_statistics(
+        overlaps, gt, dt, ig, idt, dc, metric=0, min_overlap=0.5,
+        thresh=0.5, compute_fp=True, compute_aos=True,
+    )
+    assert (tp, fp) == (0, 0)
+    assert sim == -1.0
+    # below the score: a clean TP with alpha match -> similarity 1.0
+    tp, fp, fn, sim, _ = compute_statistics(
+        overlaps, gt, dt, ig, idt, dc, metric=0, min_overlap=0.5,
+        thresh=0.1, compute_fp=True, compute_aos=True,
+    )
+    assert tp == 1 and sim == 1.0
+
+
+def test_aos_empty_images_drag_numerator():
+    """End-to-end magnitude of the -1 sentinel: N perfect-alpha images
+    plus N empty images (no GT, no DT). Each empty image contributes -1
+    to the AOS numerator at every threshold, so at the highest-recall
+    threshold the numerator is N - N = 0 and the max-future smoothing
+    pins AOS AP to ~0 — while bbox AP stays ~100. (This magnifies the
+    devkit rule; without it AOS would equal bbox AP here.)"""
+    n = N_IMG  # enough distinct score levels for all 41 recall points
+    gts = [_gt(["Car"], [BOX]) for _ in range(n)]
+    gts += [_gt([], np.zeros((0, 4))) for _ in range(n)]
+    dts = [_dt([BOX], [_scores(i)]) for i in range(n)]
+    dts += [_dt([], []) for _ in range(n)]
+    _, ap = kitti_eval(gts, dts, ["Car"], eval_types=["bbox"])
+    assert ap["Car_bbox_0.70_easy"] > 97.0
+    assert ap["Car_aos_0.70_easy"] < 3.0
+
+
 def test_clean_data_det_codes_matrix():
     """Height-first det coding: short any-class -> 1, tall same-class -> 0,
     tall other-class -> -1 (reference eval.py:67-78)."""
