@@ -143,7 +143,8 @@ def train_detector(
         model_s = MonoRUn(cfg_s) if cfg_s != cfg else model
         return jax.jit(
             lambda s, b, r: train_step(
-                model_s, tx, s, b, r, with_grad_stats=tr.log_grad_stats
+                model_s, tx, s, b, r, with_grad_stats=tr.log_grad_stats,
+                with_param_stats=tr.save_stats_interval > 0,
             )
         )
 
@@ -168,6 +169,24 @@ def train_detector(
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, sharded, sub)
             step += 1
+            pstats = metrics.pop("param_stats", None)
+            if (
+                pstats is not None
+                and tr.save_stats_interval
+                and step % tr.save_stats_interval == 0
+            ):
+                # reference save_stats dumps (runner/hooks/optimizer.py:
+                # 29-57) as one JSONL record per dumped step
+                import json
+
+                with open(
+                    os.path.join(workdir, "grad_stats.jsonl"), "a"
+                ) as f:
+                    f.write(json.dumps({
+                        "step": step,
+                        **{k: float(jax.device_get(v))
+                           for k, v in pstats.items()},
+                    }) + "\n")
             logger.log(step, epoch, metrics)
             if max_steps is not None and step >= max_steps:
                 break

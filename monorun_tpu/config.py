@@ -228,6 +228,15 @@ class TrainCfg:
     lr: float = 2.0e-4
     weight_decay: float = 0.01
     grad_clip_norm: float = 35.0
+    # per-param-group clipping (reference OptimizerHookMod paramwise_cfg,
+    # runner/hooks/optimizer.py:72-92 — shipped unused there): params
+    # whose dotted path contains a key form their own clip group with
+    # that max_norm; first match wins; the rest clip at grad_clip_norm
+    grad_clip_paramwise: Tuple[Tuple[str, float], ...] = ()
+    # JSONL per-parameter gradient/weight statistic dumps every N steps
+    # to <workdir>/grad_stats.jsonl (reference save_stats text dumps,
+    # runner/hooks/optimizer.py:29-57); 0 disables
+    save_stats_interval: int = 0
     warmup_iters: int = 500
     warmup_ratio: float = 0.001
     total_epochs: int = 50

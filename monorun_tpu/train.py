@@ -95,12 +95,66 @@ def count_nonfinite_leaves(grads) -> Array:
     )
 
 
+def clip_by_group_norms(
+    default_norm: float, paramwise,
+) -> optax.GradientTransformation:
+    """Per-param-group gradient clipping.
+
+    Reference: OptimizerHookMod.clip_grads (runner/hooks/optimizer.py:
+    72-92) — parameters whose dotted name contains a ``paramwise`` key
+    form their own clip group with that max_norm (first matching key
+    wins); everything else clips under ``default_norm``. Each group is
+    clipped by ITS OWN global norm, torch ``clip_grad_norm_`` semantics:
+    scale = min(1, max_norm / (norm + 1e-6)).
+    """
+    paramwise = dict(paramwise)
+    keys = tuple(paramwise.keys())
+
+    def group_of(path) -> str:
+        name = ".".join(str(getattr(p, "key", p)) for p in path)
+        for k in keys:
+            if k in name:
+                return k
+        return ""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        flat, treedef = jax.tree_util.tree_flatten_with_path(updates)
+        groups = [group_of(p) for p, _ in flat]
+        sumsq: Dict[str, list] = {}
+        for g, (_, leaf) in zip(groups, flat):
+            sumsq.setdefault(g, []).append(jnp.sum(jnp.square(leaf)))
+        scale = {
+            g: jnp.minimum(
+                1.0,
+                (paramwise.get(g) or default_norm)
+                / (jnp.sqrt(sum(v)) + 1e-6),
+            )
+            for g, v in sumsq.items()
+        }
+        new_leaves = [
+            leaf * scale[g] for g, (_, leaf) in zip(groups, flat)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, new_leaves), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: MonoRUnConfig, total_steps: int):
     tr = cfg.train
     sched = make_lr_schedule(cfg, total_steps)
+    clip = (
+        clip_by_group_norms(tr.grad_clip_norm, tr.grad_clip_paramwise)
+        if tr.grad_clip_paramwise
+        else optax.clip_by_global_norm(tr.grad_clip_norm)
+    )
     base = optax.chain(
         zap_nonfinite(),
-        optax.clip_by_global_norm(tr.grad_clip_norm),
+        clip,
         optax.adamw(sched, weight_decay=tr.weight_decay),
     )
     label_fn = lambda params: jax.tree_util.tree_map_with_path(
@@ -153,6 +207,26 @@ def grad_stats(grads) -> Dict[str, Array]:
     return out
 
 
+def param_grad_stats(grads, params) -> Dict[str, Array]:
+    """Per-PARAMETER gradient/weight statistics (rms, mean) as scalar
+    metrics — the reference's save_stats text dumps
+    (runner/hooks/optimizer.py:29-57: clipped_rms / sqrt(var) / mean per
+    named parameter) computed on device; the train loop appends them to
+    ``grad_stats.jsonl`` every ``train.save_stats_interval`` steps."""
+    out: Dict[str, Array] = {}
+
+    def add(tree, prefix):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = ".".join(str(getattr(k, "key", k)) for k in path)
+            leaf = leaf.astype(jnp.float32)
+            out[f"{prefix}/{name}/rms"] = jnp.sqrt(jnp.mean(leaf * leaf))
+            out[f"{prefix}/{name}/mean"] = jnp.mean(leaf)
+
+    add(grads, "grad")
+    add(params, "weight")
+    return out
+
+
 def train_step(
     model: MonoRUn,
     tx,
@@ -160,6 +234,7 @@ def train_step(
     batch: Dict[str, Array],
     rng: Array,
     with_grad_stats: bool = False,
+    with_param_stats: bool = False,
 ) -> Tuple[TrainState, Dict[str, Array]]:
     """One optimisation step; jit (or pjit via sharded args) outside."""
 
@@ -188,4 +263,6 @@ def train_step(
     metrics["nonfinite_grad_leaves"] = count_nonfinite_leaves(grads)
     if with_grad_stats:
         metrics.update(grad_stats(grads))
+    if with_param_stats:
+        metrics["param_stats"] = param_grad_stats(grads, state.params)
     return new_state, metrics

@@ -180,3 +180,4 @@ def test_refined_reassign_branch(setup):
     for k in ("loss_cls", "loss_bbox", "loss_rpn_cls", "loss_rpn_bbox"):
         assert float(m_re[k]) == float(m_def[k]), k
     assert float(m_re["loss_dim"]) != float(m_def["loss_dim"])
+
