@@ -516,7 +516,7 @@ def multilevel_roi_align_auto(
         # bf16's bytes: smaller RoI block)
         tile_h = ((max(tile_h, 32) + 15) // 16) * 16
 
-        if impl == "band" or (
+        if impl in ("band", "bandmm") or (
             impl == "auto"
             and rois.shape[0] >= 2048 and features[0].dtype.itemsize < 4
         ):
@@ -531,12 +531,27 @@ def multilevel_roi_align_auto(
             # f32 band of the widest level would blow the VMEM budget.
             from .roi_align_band import multilevel_roi_align_band
 
+            # whole-block stage-1 matmul variant (see _band_kernel_matmul):
+            # M=kroi*oh MXU fill + branch-free stage 2; measured-default
+            matmul = impl == "bandmm" or (
+                impl != "band"
+                and os.environ.get("MONORUN_BAND_MATMUL", "0") == "1"
+            )
+            kroi_default = "16" if matmul else "8"
+            import jax.numpy as _jnp
+
             return multilevel_roi_align_band(
                 features, rois, strides, out_size, finest_scale,
                 max_ratio=max_ratio, tile_hw=(tile_h, 96),
-                kroi=int(os.environ.get("MONORUN_BAND_KROI", "8")),
+                kroi=int(os.environ.get("MONORUN_BAND_KROI", kroi_default)),
                 pyramid=pyramid,
                 tiered=os.environ.get("MONORUN_BAND_TIERED", "0") == "1",
+                matmul=matmul,
+                t1_dtype=(
+                    _jnp.bfloat16
+                    if os.environ.get("MONORUN_BAND_T1_BF16", "0") == "1"
+                    else None
+                ),
             )
 
         # small/medium counts: sorted-by-buffer per-RoI DMA (one

@@ -224,6 +224,95 @@ def _band_kernel_tiered(
                 comp(r, cb * COL_BLK)
 
 
+def _band_kernel_matmul(
+    c0_ref,              # (m_pad,) i32 — 16-snapped in-row origin
+    bbuf_ref,            # (nblk,) i32 — band's pyramid buffer id
+    bstart_ref,          # (nblk,) i32 — band's first resident row
+    bnew_ref,            # (nblk,) i32 — 1 if this block starts a new band
+    bslot_ref,           # (nblk,) i32 — which of the 2 band slots
+    *refs,
+    nbufs: int,
+    kroi: int,
+    th: int,
+    tw: int,
+    rp_list: Tuple[int, ...],
+):
+    """Whole-block stage-1 matmul variant of _band_kernel.
+
+    The per-RoI kernel's stage-1 interp matmul runs at M=oh(=7), K=th(=32)
+    — ~2% MXU fill — and is wrapped in per-RoI column-tier branches that
+    Mosaic serializes. Here Y is built host-side over the FULL 64-row band
+    window (leading/trailing rows outside the RoI's tile get exact 0.0
+    weights), so stage 1 for a whole kroi-block is ONE matmul
+
+        (kroi*oh, 64) @ band(64, W_b, C) -> t1 (kroi*oh, W_b, C)
+
+    at M=kroi*oh (112 for kroi=16), K=64, predicated only on the band's
+    buffer id (static W_b per buffer). Stage 2 stays per-RoI but is
+    branch-free at the full tile width (X's zero columns annihilate
+    unused taps): X (ow, tw) @ t1[r] window (oh, tw, C) -> (ow, oh, C).
+    The extra FLOPs over the full band width/row window are MXU-cheap
+    compared to the removed predication + M-underfill.
+
+    refs = [buf_0..buf_{nbufs-1}, y_ref, x_ref, out_ref, band, t1, sem].
+    """
+    bufs = refs[:nbufs]
+    y_ref, x_ref, out_ref, band_ref, t1_ref, sem = refs[nbufs:]
+    blk = pl.program_id(0)
+    nblk = pl.num_programs(0)
+    oh = out_ref.shape[1]
+
+    def band_dma(bidx, action):
+        bbuf, bstart, slot = bbuf_ref[bidx], bstart_ref[bidx], bslot_ref[bidx]
+        for b in range(nbufs):
+            @pl.when(bbuf == b)
+            def _():
+                cp = pltpu.make_async_copy(
+                    bufs[b].at[pl.ds(bstart, BAND_ROWS), :, :],
+                    band_ref.at[slot, :, : rp_list[b], :],
+                    sem.at[slot],
+                )
+                cp.start() if action == "start" else cp.wait()
+
+    @pl.when(blk == 0)
+    def _():
+        # stale band columns beyond a narrow buffer's rp_b feed stage 1
+        # (full-width matmul): uninitialized VMEM may hold inf/NaN bit
+        # patterns that would poison t1 even under zero X weights
+        band_ref[...] = jnp.zeros_like(band_ref)
+        band_dma(0, "start")
+
+    @pl.when(bnew_ref[blk] == 1)
+    def _():
+        band_dma(blk, "wait")
+
+    @pl.when((blk + 1 < nblk) & (bnew_ref[blk + 1] == 1))
+    def _():
+        band_dma(blk + 1, "start")
+
+    slot = bslot_ref[blk]
+    for b in range(nbufs):
+        @pl.when(bbuf_ref[blk] == b)
+        def _():
+            wb = rp_list[b]
+            t1 = jax.lax.dot_general(
+                y_ref[...], band_ref[slot, :, :wb, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                       # (kroi*oh, wb, C)
+            t1_ref[:, :wb, :] = t1.astype(t1_ref.dtype)
+
+    for r in range(kroi):
+        c0 = pl.multiple_of(c0_ref[blk * kroi + r], 16)
+        t1r = t1_ref[pl.ds(r * oh, oh), pl.ds(c0, tw), :]   # (oh, tw, C)
+        out = jax.lax.dot_general(
+            x_ref[r].astype(t1_ref.dtype), t1r,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # (ow, oh, C)
+        out_ref[r] = out.astype(out_ref.dtype)       # (ow, oh, C) raw
+
+
 KPACK = 4               # RoIs K-stacked per interp matmul (4 * 32 = 128)
 
 
@@ -352,6 +441,8 @@ def multilevel_roi_align_band(
     pyramid=None,
     packed: bool = False,
     tiered: bool = False,
+    matmul: bool = False,
+    t1_dtype=None,
 ) -> Array:
     """Band-sweep RoIAlign; semantics == multilevel_roi_align (gather).
 
@@ -362,6 +453,13 @@ def multilevel_roi_align_band(
     the saved MXU K-blocks, so the per-RoI kernel stays the default;
     the packed path is kept for future re-evaluation and is covered by
     the same oracle tests.
+
+    ``matmul`` runs stage 1 as one whole-block (kroi*oh, 64) @ band
+    matmul with Y built over the full band window (see
+    _band_kernel_matmul) and a branch-free full-width stage 2;
+    ``t1_dtype`` sets the stage-1 scratch precision (default f32 —
+    exact; bfloat16 halves the scratch and runs stage 2 at full MXU
+    rate at the cost of one bf16 rounding of the f32 stage-1 sums).
 
     ``tiered`` buckets RoIs by (band, column tier) instead of band alone,
     making every kroi-block tier-uniform so the kernel's column-tier
@@ -379,6 +477,8 @@ def multilevel_roi_align_band(
     n = rois.shape[0]
     Th, Tw = tile_hw
     assert Th <= MAX_TH and Tw <= MAX_TW and Th <= BAND_STEP
+    if matmul:
+        packed = tiered = False
     packed = packed and not tiered and kroi % KPACK == 0  # whole groups
     fdtype = features[0].dtype
 
@@ -399,10 +499,11 @@ def multilevel_roi_align_band(
     # Y is built directly at the window origin. Window stays inside the
     # 64-row band: rw0 >= bstart and rw0 + Th <= bstart + 64 for
     # bstart = clip(32k - 32, 0, rows - 64), k = (rw0 + Th - 1) // 32.
-    tmask, Y, X, rw0, c0, nrb, ncb, buf_id = roi_tile_geometry(
+    geo = roi_tile_geometry(
         rois, sizes, strides, out_size, finest_scale, max_ratio,
-        Th, Tw, fdtype, row_window=True,
+        Th, Tw, fdtype, row_window=True, return_axis_data=matmul,
     )
+    tmask, Y, X, rw0, c0, nrb, ncb, buf_id = geo[:8]
     end_row = rw0 + Th - 1
 
     # ---- band assignment --------------------------------------------------
@@ -430,6 +531,19 @@ def multilevel_roi_align_band(
             kk * BAND_STEP - BAND_STEP, rows_arr[bbuf] - BAND_ROWS
         )
         return bbuf, jnp.clip(start, 0, None).astype(jnp.int32)
+
+    if matmul:
+        # rebuild Y over the RoI's full 64-row band window (image-relative
+        # origin; rows outside the tile get exact 0.0 weights) so stage 1
+        # can run as one whole-block matmul against the resident band
+        from .roi_align import _axis_interp_matrix
+
+        a_coords, ma1, ga, A_size, batch, im_rows = geo[8]
+        _, bstart_roi = band_start_of(band)
+        a0_band = (bstart_roi - batch * im_rows).astype(jnp.float32)
+        Y = _axis_interp_matrix(
+            a_coords, ma1, ga, a0_band, A_size, BAND_ROWS
+        ).astype(fdtype)
 
     # ---- sort by band (or (band, tier)), pad runs to kroi multiples -------
     # everything below is GATHER-only: scattering Y/X into padded slots
@@ -520,6 +634,52 @@ def multilevel_roi_align_band(
         # block-uniform column tier (trailing dummy blocks clip to the
         # last group; their slots have zero weights, any tier is safe)
         ncb_p = jnp.maximum(group_slotted[:: kroi] % (ncq + 1), 1)
+
+    if matmul:
+        t1dt = t1_dtype or jnp.float32
+        # (m_pad, oh, 64) -> (m_pad*oh, 64): the kernel's y block is the
+        # whole block's Y stacked along M, and merging the leading dims
+        # host-side keeps the in-kernel access a plain block slice
+        y_flat = Y_p.reshape(m_pad * oh, BAND_ROWS)
+        out = pl.pallas_call(
+            functools.partial(
+                _band_kernel_matmul, nbufs=nbufs, kroi=kroi, th=Th, tw=Tw,
+                rp_list=rp_list,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(nblk,),
+                in_specs=(
+                    [pl.BlockSpec(memory_space=pl.ANY)] * nbufs
+                    + [
+                        pl.BlockSpec(
+                            (kroi * oh, BAND_ROWS), lambda i, *_: (i, 0)
+                        ),
+                        pl.BlockSpec((kroi, ow, Tw), lambda i, *_: (i, 0, 0)),
+                    ]
+                ),
+                out_specs=pl.BlockSpec(
+                    (kroi, oh, ow, C), lambda i, *_: (i, 0, 0, 0)
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((2, BAND_ROWS, wmax, C), fdtype),
+                    pltpu.VMEM((kroi * oh, wmax, C), t1dt),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((m_pad, oh, ow, C), fdtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+        )(c0_p, blk_buf, blk_start, blk_new, blk_slot, *bufs, y_flat, X_p)
+        # restore original RoI order + orientation (shared epilogue)
+        slot_of_orig = slot_sorted[jnp.argsort(order)]
+        out = out[slot_of_orig]
+        out = jnp.where(
+            tmask[:, None, None, None], out, jnp.swapaxes(out, 1, 2)
+        )
+        return out[:n]
 
     if tiered:
         kernel = _band_kernel_tiered

@@ -259,6 +259,7 @@ def roi_tile_geometry(
     Tw: int,
     fdtype,
     row_window: bool = False,
+    return_axis_data: bool = False,
 ):
     """Shared per-RoI tile geometry for the Pallas align kernels.
 
@@ -366,7 +367,14 @@ def roi_tile_geometry(
                             ).astype(fdtype)
     c0 = b0.astype(jnp.int32)
     buf_id = (lvls * 2 + tmask.astype(jnp.int32)).astype(jnp.int32)
-    return tmask, Y, X, r0, c0, nrb, ncb, buf_id
+    out = (tmask, Y, X, r0, c0, nrb, ncb, buf_id)
+    if return_axis_data:
+        # raw tile-row-axis data so callers can rebuild Y at a different
+        # origin/width (the band-matmul kernel builds Y over the full
+        # 64-row band window); ``rows`` converts buffer rows back to
+        # image-relative origins (a0_img = r - batch * rows)
+        out = out + ((a_coords, ma[:, :1], ga, A_size, batch, rows),)
+    return out
 
 
 def multilevel_roi_align_pallas(

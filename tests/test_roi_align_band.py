@@ -45,11 +45,11 @@ def _boxes(n, B, H, W, seed=0, max_w=60.0, max_h=40.0):
     return jnp.asarray(np.stack([b, x1, y1, x2, y2], 1).astype(np.float32))
 
 
-@pytest.mark.parametrize("tiered", [False, True])
+@pytest.mark.parametrize("mode", ["plain", "tiered", "matmul"])
 @pytest.mark.parametrize(
     "out_size,finest,max_ratio", [((7, 7), 10.0, 3), ((14, 14), 14.0, 2)]
 )
-def test_band_matches_gather_oracle(out_size, finest, max_ratio, tiered):
+def test_band_matches_gather_oracle(out_size, finest, max_ratio, mode):
     strides = (2, 4, 8, 16)
     feats = _pyramid()
     rois = _boxes(24, 2, 64, 128)
@@ -60,7 +60,8 @@ def test_band_matches_gather_oracle(out_size, finest, max_ratio, tiered):
     with _interpret_pallas():
         got = rab.multilevel_roi_align_band(
             feats, rois, strides, out_size, finest,
-            max_ratio=max_ratio, kroi=4, tiered=tiered,
+            max_ratio=max_ratio, kroi=4, tiered=mode == "tiered",
+            matmul=mode == "matmul",
         )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
@@ -91,11 +92,13 @@ def test_band_extreme_aspect_and_degenerate():
     )
     # kroi=2 exercises the unpacked fallback (kroi % KPACK != 0); kroi=4
     # exercises the K-packed kernel on the same degenerate boxes, where
-    # one group mixes tiers and contains the zero-size dummy
-    for kroi in (2, 4):
+    # one group mixes tiers and contains the zero-size dummy; matmul=True
+    # exercises the whole-block stage-1 variant on the same cases
+    for kroi, matmul in ((2, False), (4, False), (4, True)):
         with _interpret_pallas():
             got = rab.multilevel_roi_align_band(
                 feats, rois, strides, (7, 7), 10.0, max_ratio=3, kroi=kroi,
+                matmul=matmul,
             )
         assert np.isfinite(np.asarray(got)).all()
         np.testing.assert_allclose(
