@@ -37,9 +37,12 @@ CONFIG = os.environ.get("MONORUN_BENCH_CONFIG", "kitti_multiclass")
 # split=1 serves via the TWO warm-start executables (backbone, heads)
 # called back to back instead of one monolithic jit: the first batch then
 # pays ~0 extra compile on top of the warm-up itself. Requires
-# freeze="none" (the executables take the full variable tree as an arg).
+# freeze="none" (the executables take the full variable tree as an arg)
+# and warm-up itself: MONORUN_WARM_START=0 (the no-warm A/B baseline)
+# therefore also disables split.
+WARM = os.environ.get("MONORUN_WARM_START", "1") == "1"
 SPLIT = os.environ.get("MONORUN_SPLIT", "1" if FREEZE == "none" else "0")
-SPLIT = SPLIT == "1" and FREEZE == "none"
+SPLIT = SPLIT == "1" and FREEZE == "none" and WARM
 ITERS = 20
 
 
@@ -50,6 +53,33 @@ def main():
     from monorun_tpu.models import init_detector
 
     t_proc = time.time()
+
+    # the axon tunnel stalls minutes on the FIRST host fetch of device
+    # data in a process — measured 116.7 s for float(jit(x+1)(zeros)[0,0])
+    # in an otherwise empty process, and 116-667 s across probes,
+    # independent of program size or compile path (AOT vs traced); the
+    # second fetch takes 0.5 s. BENCH_r04's unexplained 407.5 s
+    # compile+first was exactly this wall, paid serially after warm+init.
+    # Trigger the fetch IMMEDIATELY in a daemon thread so the wall
+    # overlaps the warm-up compiles and the parameter build; the thread's
+    # stall does not block other host threads or device dispatches.
+    def _open_fetch_channel():
+        t0 = time.time()
+        try:
+            float(
+                jax.jit(lambda a: a + 1.0)(
+                    jnp.zeros((8, 128), jnp.float32)
+                )[0, 0]
+            )
+            print(
+                f"[channel] first-fetch wall: {time.time() - t0:.1f}s",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover - diagnostics only
+            print(f"[channel] open failed: {e}", file=sys.stderr)
+
+    chan_thread = threading.Thread(target=_open_fetch_channel, daemon=True)
+    chan_thread.start()
     cfg = get_config(CONFIG)
     h, w = cfg.data.pad_height, cfg.data.pad_width
     print(
@@ -79,7 +109,7 @@ def main():
         warm_progs.update(progs)
 
     warm_thread = None
-    if SPLIT or os.environ.get("MONORUN_WARM_START", "1") == "1":
+    if WARM:
         warm_thread = threading.Thread(target=_warm, daemon=True)
         warm_thread.start()
 
@@ -143,7 +173,22 @@ def main():
     # inferences inside one program, so the cold metric is the plain
     # program; `carry` threads a data dependency between chained calls
     # for the steady-state measurement below.
-    if SPLIT:
+    # split mode needs every warmed executable; if the warm thread died
+    # (compile-service error, OOM) fall back to the monolithic jit so the
+    # headline metric survives a warm-up failure (warm-up is best-effort)
+    split = SPLIT
+    if split:
+        need = ("carry_in", "checksum", "backbone", "heads")
+        missing = [k for k in need if k not in warm_progs]
+        if missing:
+            print(
+                f"warm-up incomplete (missing {missing}); falling back "
+                "to the monolithic jit",
+                file=sys.stderr,
+            )
+            split = False
+
+    if split:
         # two chained executables (compiled by the warm-up at exactly
         # these avals); `_carry_in` keeps the chain's data dependency and
         # `_checksum` collapses the output — both tiny programs
@@ -166,6 +211,9 @@ def main():
 
         jfwd = jax.jit(fwd)
 
+    # join the channel opener so compile+first reads genuine program cost,
+    # not the tail of the first-fetch wall (cold total includes both ways)
+    chan_thread.join()
     t0 = time.time()
     checksum = float(
         jfwd(live_p, images, jax.random.PRNGKey(1), jnp.float32(0))

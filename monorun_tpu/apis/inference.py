@@ -75,6 +75,23 @@ class InferenceSession:
         # compile+first 121.7 s -> ~5 s after warm-up).
         self._progs = None
         if warm and mesh is None and jax.default_backend() == "tpu":
+            # open the host-fetch channel immediately: the remote-TPU
+            # tunnel stalls minutes on a process's FIRST device->host
+            # fetch (measured 116-667 s, independent of program size);
+            # paying it on a trivial program in a daemon thread overlaps
+            # the wall with the warm-up compiles below (see bench.py)
+            import threading
+
+            def _open_fetch_channel():
+                try:
+                    float(jax.jit(lambda a: a + 1.0)(
+                        jnp.zeros((8, 128), jnp.float32))[0, 0])
+                except Exception:  # pragma: no cover - best effort
+                    pass
+
+            threading.Thread(
+                target=_open_fetch_channel, daemon=True
+            ).start()
             try:
                 from ..utils.warm_start import warm_start
 
@@ -134,7 +151,16 @@ class InferenceSession:
                 (jnp.asarray(images), jnp.asarray(cam), jnp.asarray(shapes)),
                 self.mesh,
             )
-        if self._progs is not None:
+        h, w = self.cfg.data.pad_height, self.cfg.data.pad_width
+        # the warmed executables are lowered at exactly (batch_size, h, w,
+        # 3); a mismatched call (tail batch, odd resolution) falls back to
+        # the monolithic jit for THIS call only — the warmed programs stay
+        # valid for correctly-shaped calls
+        split_ok = (
+            self._progs is not None
+            and tuple(np.shape(images)) == (self.batch_size, h, w, 3)
+        )
+        if split_ok:
             try:
                 feats = self._progs["backbone"](
                     self._allvars,
@@ -146,7 +172,7 @@ class InferenceSession:
                     jnp.asarray(shapes, jnp.float32),
                     jax.random.PRNGKey(seed),
                 )
-            except Exception as e:  # aval mismatch etc. — fall back once
+            except Exception as e:  # genuine program error — disable split
                 print(f"[InferenceSession] split path failed ({e}); "
                       "falling back to the monolithic program")
                 self._progs = None

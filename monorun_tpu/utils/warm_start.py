@@ -223,7 +223,16 @@ def warm_start(
         return name, dt, compiled
 
     times = {}
+    unknown = [p for p in pieces if p != "checksum" and p not in builders]
+    if unknown:
+        raise ValueError(f"unknown warm-start pieces: {unknown}")
+    if "checksum" in pieces and "heads" not in pieces:
+        # the checksum glue is compiled from the heads lowering's out_info
+        # (see compile_piece); without "heads" it would silently not exist
+        raise ValueError("piece 'checksum' requires piece 'heads'")
     run = [p for p in pieces if p != "checksum"]
+    if not run:
+        return ({}, {}) if return_programs else {}
     with _fut.ThreadPoolExecutor(max_workers=len(run)) as ex:
         results = list(ex.map(compile_piece, run))
     times.update({name: dt for name, dt, _ in results})
