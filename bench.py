@@ -43,6 +43,12 @@ CONFIG = os.environ.get("MONORUN_BENCH_CONFIG", "kitti_multiclass")
 WARM = os.environ.get("MONORUN_WARM_START", "1") == "1"
 SPLIT = os.environ.get("MONORUN_SPLIT", "1" if FREEZE == "none" else "0")
 SPLIT = SPLIT == "1" and FREEZE == "none" and WARM
+# RAW=1 (default) benches the uint8-canvas serving program: on-device
+# resize/normalize/pad fused in front of the backbone
+# (data/pipeline.py:device_preprocess) — the full preprocessing-inclusive
+# pipeline the driver's north star describes. RAW=0 keeps the
+# pre-normalized f32 input program for A/B.
+RAW = os.environ.get("MONORUN_RAW", "1") == "1"
 ITERS = 20
 
 
@@ -103,7 +109,7 @@ def main():
             pieces += ("carry_in", "checksum")
         times, progs = warm_start(
             cfg, MonoRUn(cfg), BATCH, verbose=True, return_programs=True,
-            pieces=pieces,
+            pieces=pieces, raw=RAW,
         )
         warm_times.update(times)
         warm_progs.update(progs)
@@ -134,20 +140,37 @@ def main():
     # inputs are generated ON DEVICE: host->device uploads through the
     # remote tunnel are slow (3-20 s for this 47 MB batch) and have no
     # business inside a cold-start measurement
-    images = jax.random.normal(
-        jax.random.PRNGKey(3), (BATCH, h, w, 3), jnp.float32
-    )
-    cam = jnp.tile(
+    s = cfg.data.test_scale
+    cam_native = jnp.tile(
         jnp.asarray(
             [[721.5, 0.0, 609.6], [0.0, 721.5, 172.9], [0.0, 0.0, 1.0]],
             jnp.float32,
         ),
         (BATCH, 1, 1),
     )
-    s = cfg.data.test_scale
-    shapes = jnp.tile(
-        jnp.asarray([[375.0 * s, 1242.0 * s]], jnp.float32), (BATCH, 1)
-    )
+    if RAW:
+        # uint8 native-resolution canvas, preprocessing runs on device
+        images = jax.random.randint(
+            jax.random.PRNGKey(3),
+            (BATCH, cfg.data.raw_height, cfg.data.raw_width, 3),
+            0, 256, jnp.uint8,
+        )
+        raw_shapes = jnp.tile(
+            jnp.asarray([[375.0, 1242.0]], jnp.float32), (BATCH, 1)
+        )
+        from monorun_tpu.data.pipeline import scale_intrinsics
+
+        cam = scale_intrinsics(cam_native, s)
+        shapes = jnp.round(raw_shapes * s)
+    else:
+        images = jax.random.normal(
+            jax.random.PRNGKey(3), (BATCH, h, w, 3), jnp.float32
+        )
+        cam = cam_native
+        shapes = jnp.tile(
+            jnp.asarray([[375.0 * s, 1242.0 * s]], jnp.float32),
+            (BATCH, 1),
+        )
 
     # FREEZE controls constants-vs-args, matching the serving path
     # (InferenceSession); the measured default is "none" — see inference.py.
@@ -196,10 +219,33 @@ def main():
         _carry_in = warm_progs["carry_in"]
         _checksum = warm_progs["checksum"]
 
-        def jfwd(live, img, key, carry):
-            feats = warm_progs["backbone"](allvars, _carry_in(img, carry))
-            det = warm_progs["heads"](allvars, feats, cam, shapes, key)
-            return _checksum(det)
+        if RAW:
+            def jfwd(live, img, key, carry):
+                feats = warm_progs["backbone"](
+                    allvars, _carry_in(img, carry), raw_shapes
+                )
+                det = warm_progs["heads"](allvars, feats, cam, shapes, key)
+                return _checksum(det)
+
+        else:
+            def jfwd(live, img, key, carry):
+                feats = warm_progs["backbone"](
+                    allvars, _carry_in(img, carry)
+                )
+                det = warm_progs["heads"](allvars, feats, cam, shapes, key)
+                return _checksum(det)
+
+    elif RAW:
+        def fwd(live, img, key, carry):
+            det = model.apply(
+                {**other, "params": {**const_p, **live}},
+                img + (carry * 0.0).astype(img.dtype),
+                cam_native, raw_shapes, key,
+                method=model.serve_raw,
+            )
+            return jnp.sum(det.bboxes_3d)
+
+        jfwd = jax.jit(fwd)
 
     else:
         def fwd(live, img, key, carry):

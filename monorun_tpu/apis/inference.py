@@ -59,10 +59,18 @@ class InferenceSession:
     """
 
     def __init__(self, cfg: MonoRUnConfig, variables, batch_size: int = 1,
-                 mesh=None, freeze: str = "none", warm: bool = True):
+                 mesh=None, freeze: str = "none", warm: bool = True,
+                 raw: bool = False):
+        """``raw=True`` serves the uint8-canvas program: ``run`` then
+        expects (B, raw_height, raw_width, 3) uint8 canvases (images
+        pasted top-left at native resolution), NATIVE intrinsics and
+        native (h, w) shapes; resize/normalize/pad + the test_scale
+        intrinsic rescale run inside the jitted program
+        (data/pipeline.py:device_preprocess)."""
         self.cfg = cfg
         self.model = MonoRUn(cfg)
         self.mesh = mesh
+        self.raw = raw
         # parallel cold-start warm-up: AOT-compile backbone / heads /
         # align-kernel pieces concurrently (utils/warm_start.py).
         # Best-effort: single-device TPU only (sharded programs have
@@ -97,10 +105,11 @@ class InferenceSession:
 
                 if freeze == "none":
                     _, self._progs = warm_start(
-                        cfg, self.model, batch_size, return_programs=True
+                        cfg, self.model, batch_size, return_programs=True,
+                        raw=raw,
                     )
                 else:
-                    warm_start(cfg, self.model, batch_size)
+                    warm_start(cfg, self.model, batch_size, raw=raw)
             except Exception as e:  # pragma: no cover - best effort
                 print(f"[InferenceSession] warm_start skipped: {e}")
         if mesh is not None:
@@ -130,12 +139,20 @@ class InferenceSession:
         const_p = {k: v for k, v in params.items() if k in baked_keys}
         self._live = {k: v for k, v in params.items() if k not in baked_keys}
         self._allvars = {**other, "params": params}
-        self._fn = jax.jit(
-            lambda live, img, cam, shp, key: self.model.apply(
-                {**other, "params": {**const_p, **live}},
-                img, cam, shp, key,
+        if raw:
+            self._fn = jax.jit(
+                lambda live, img, cam, shp, key: self.model.apply(
+                    {**other, "params": {**const_p, **live}},
+                    img, cam, shp, key, method=self.model.serve_raw,
+                )
             )
-        )
+        else:
+            self._fn = jax.jit(
+                lambda live, img, cam, shp, key: self.model.apply(
+                    {**other, "params": {**const_p, **live}},
+                    img, cam, shp, key,
+                )
+            )
 
     def run(
         self,
@@ -151,7 +168,11 @@ class InferenceSession:
                 (jnp.asarray(images), jnp.asarray(cam), jnp.asarray(shapes)),
                 self.mesh,
             )
-        h, w = self.cfg.data.pad_height, self.cfg.data.pad_width
+        dc = self.cfg.data
+        h, w = (
+            (dc.raw_height, dc.raw_width) if self.raw
+            else (dc.pad_height, dc.pad_width)
+        )
         # the warmed executables are lowered at exactly (batch_size, h, w,
         # 3); a mismatched call (tail batch, odd resolution) falls back to
         # the monolithic jit for THIS call only — the warmed programs stay
@@ -162,6 +183,21 @@ class InferenceSession:
         )
         if split_ok:
             try:
+                if self.raw:
+                    from ..data.pipeline import scale_intrinsics
+
+                    s = float(dc.test_scale)
+                    feats = self._progs["backbone"](
+                        self._allvars,
+                        jnp.asarray(images, jnp.uint8),
+                        jnp.asarray(shapes, jnp.float32),
+                    )
+                    return self._progs["heads"](
+                        self._allvars, feats,
+                        scale_intrinsics(jnp.asarray(cam, jnp.float32), s),
+                        jnp.round(jnp.asarray(shapes, jnp.float32) * s),
+                        jax.random.PRNGKey(seed),
+                    )
                 feats = self._progs["backbone"](
                     self._allvars,
                     jnp.asarray(images, jnp.float32),

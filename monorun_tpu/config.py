@@ -288,6 +288,12 @@ class DataConfig:
     # static padded shapes (KITTI images are <= 376 x 1242)
     pad_height: int = 384
     pad_width: int = 1280
+    # native-resolution uint8 serving canvas (on-device preprocessing,
+    # data/pipeline.py:device_preprocess): images are pasted top-left
+    # unresized; resize/normalize/pad run inside the jitted program.
+    # Stays at the scale-1.0 padded size even when test_scale < 1.
+    raw_height: int = 384
+    raw_width: int = 1280
     max_gt: int = 64
     workers: int = 2
     # test-time input downscale (architectural FLOP cut, NOT reference

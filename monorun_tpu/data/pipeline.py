@@ -81,6 +81,76 @@ def normalize_pad(
     return out, (h, w)
 
 
+def device_preprocess(raw, shapes, data_cfg: DataConfig):
+    """On-device test-time preprocessing: the jittable equivalent of the
+    host resize+normalize+pad chain (reference apis/inference.py:51-75
+    LoadImage -> Normalize -> Pad3D).
+
+    ``raw``: (B, raw_height, raw_width, 3) uint8 (or float) canvas — each
+    image pasted top-left at NATIVE resolution (a plain memcpy on the
+    host; uint8 upload is 4x smaller than f32 over the serving link).
+    ``shapes``: (B, 2) native (h, w) per image.
+
+    Returns (images, shapes_scaled): the (B, pad_height, pad_width, 3)
+    normalized float batch the detector consumes, and (h, w) * test_scale.
+
+    With test_scale != 1 the whole canvas is resized (half-pixel bilinear,
+    no antialiasing — cv2.INTER_LINEAR convention) and re-masked.
+    test_scale == 1 is exact vs normalize_pad. Under a downscale this
+    deviates from the host chain (cv2-resize the raw image, then pad) in
+    two sub-pixel ways: (a) a <=1 px bleed band at each image's
+    valid-region edge (the canvas resize sees padding next to the image);
+    (b) the resample factor is EXACTLY 1/test_scale here, while
+    cv2.resize to round(h*s) uses h/round(h*s) (375 -> 281 is 1.33452 vs
+    1.33333) — a drift that reaches ~0.3 px at the far edge. The device
+    mapping is the self-consistent one: intrinsics are scaled by exactly
+    test_scale, so geometry matches the actual resample here but is ~0.3
+    px off at the image edge on the host path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = raw.shape[0]
+    x = raw.astype(jnp.float32)
+    s = float(data_cfg.test_scale)
+    shapes = jnp.asarray(shapes, jnp.float32)
+    if s != 1.0:
+        nh = int(round(raw.shape[1] * s))
+        nw = int(round(raw.shape[2] * s))
+        x = jax.image.resize(x, (B, nh, nw, 3), "linear", antialias=False)
+        shapes = jnp.round(shapes * s)
+    ph, pw = data_cfg.pad_height, data_cfg.pad_width
+    x = x[:, :ph, :pw]
+    x = jnp.pad(
+        x, ((0, 0), (0, ph - x.shape[1]), (0, pw - x.shape[2]), (0, 0))
+    )
+    mean = jnp.asarray(data_cfg.img_mean, jnp.float32)
+    std = jnp.asarray(data_cfg.img_std, jnp.float32)
+    x = (x - mean) / std
+    # padding must be 0 in NORMALIZED space (normalize_pad pastes the
+    # normalized image into a zero canvas); the uint8 canvas's zero
+    # padding would otherwise normalize to -mean/std
+    rows = jnp.arange(ph, dtype=jnp.float32)[None, :, None, None]
+    cols = jnp.arange(pw, dtype=jnp.float32)[None, None, :, None]
+    valid = (rows < shapes[:, 0, None, None, None]) & (
+        cols < shapes[:, 1, None, None, None]
+    )
+    return jnp.where(valid, x, 0.0), shapes
+
+
+def scale_intrinsics(cam, test_scale: float):
+    """K for the resized image: focal lengths and principal point x s."""
+    import jax.numpy as jnp
+
+    if float(test_scale) == 1.0:
+        return cam
+    cam = jnp.asarray(cam, jnp.float32)
+    scale = jnp.asarray(
+        [[test_scale], [test_scale], [1.0]], jnp.float32
+    )
+    return cam * scale
+
+
 def prepare_train_sample(
     ds: KITTI3DDataset,
     idx: int,

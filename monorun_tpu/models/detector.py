@@ -121,6 +121,34 @@ class MonoRUn(nn.Module):
     def extract_feats(self, images: Array) -> Tuple[Array, ...]:
         return self.neck(self.backbone(images))
 
+    def extract_feats_raw(self, raw: Array, raw_shapes: Array):
+        """uint8-canvas serving entry: on-device resize/normalize/pad
+        (data/pipeline.py:device_preprocess — the reference's host-side
+        LoadImage -> Normalize -> Pad3D, apis/inference.py:51-75) fused in
+        front of the backbone. ``raw`` is (B, raw_height, raw_width, 3)
+        uint8 with each image pasted top-left at native resolution."""
+        from ..data.pipeline import device_preprocess
+
+        images, _ = device_preprocess(raw, raw_shapes, self.cfg.data)
+        return self.extract_feats(images)
+
+    def serve_raw(
+        self, raw: Array, cam_native: Array, raw_shapes: Array, rng: Array,
+    ) -> "Detections":
+        """Full raw-input serving program: preprocessing + detection in
+        one jitted graph. ``cam_native`` is the native-resolution K; the
+        test_scale intrinsic rescale happens on device too."""
+        from ..data.pipeline import device_preprocess, scale_intrinsics
+
+        cfg = self.cfg
+        images, shapes = device_preprocess(raw, raw_shapes, cfg.data)
+        cam = scale_intrinsics(cam_native, cfg.data.test_scale)
+        feats = self.extract_feats(images)
+        return self.heads_forward(
+            feats, cam, shapes, rng,
+            pad_shape=(cfg.data.pad_height, cfg.data.pad_width),
+        )
+
     def run_rpn(self, feats) -> Tuple[Any, Any]:
         lvl0 = self.cfg.rpn.starting_level
         return self.rpn_head(feats[lvl0:])

@@ -88,6 +88,7 @@ def warm_start(
     ),
     verbose: bool = False,
     return_programs: bool = False,
+    raw: bool = False,
 ):
     """Concurrently AOT-compile the serving program's heavy pieces.
 
@@ -101,6 +102,11 @@ def warm_start(
     ``abstract_vars`` (from a prior ``jax.eval_shape`` of ``model.init``)
     avoids re-tracing; pass the real variables tree equally — only avals
     are used.
+
+    ``raw=True`` compiles the uint8-canvas serving program: the backbone
+    piece becomes ``extract_feats_raw`` (on-device preprocessing fused in
+    front, taking (B, raw_height, raw_width, 3) uint8 + native (h, w)),
+    and the carry glue runs on the uint8 canvas.
     """
     from ..models.detector import _align_strides
 
@@ -111,6 +117,10 @@ def warm_start(
     avars = _serving_avals(cfg, abstract_vars)
 
     img_sds = jax.ShapeDtypeStruct((B, h, w, 3), jnp.float32)
+    raw_sds = jax.ShapeDtypeStruct(
+        (B, cfg.data.raw_height, cfg.data.raw_width, 3), jnp.uint8
+    )
+    shp_sds = jax.ShapeDtypeStruct((B, 2), jnp.float32)
     feats_sds = jax.eval_shape(
         lambda v, x: model.apply(v, x, method=model.extract_feats),
         avars, img_sds,
@@ -146,6 +156,14 @@ def warm_start(
         return f, feats_sds[:n_levels]
 
     def _backbone():
+        if raw:
+            def f(v, x, shp):
+                return model.apply(
+                    v, x, shp, method=model.extract_feats_raw
+                )
+
+            return f, (avars, raw_sds, shp_sds)
+
         def f(v, x):
             return model.apply(v, x, method=model.extract_feats)
 
@@ -173,6 +191,10 @@ def warm_start(
     # heads_forward just for its output avals would double the heaviest
     # host-side tracing work.)
     def _carry_in():
+        if raw:
+            return (lambda img, c: img + (c * 0.0).astype(img.dtype)), (
+                raw_sds, jax.ShapeDtypeStruct((), jnp.float32),
+            )
         return (lambda img, c: img + c * 0.0), (
             img_sds, jax.ShapeDtypeStruct((), jnp.float32),
         )

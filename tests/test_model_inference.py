@@ -96,3 +96,45 @@ def test_param_count_plausible(model_and_vars):
     # ResNet-26 + FPN + heads (depth-50 init is covered by
     # tests/test_checkpoint.py); heads alone are ~25M
     assert 15e6 < n_params < 90e6, n_params
+
+
+def test_serve_raw_matches_f32_path(model_and_vars):
+    """The uint8-canvas serving program (serve_raw: on-device
+    preprocessing fused in front, reference apis/inference.py:51-75) must
+    reproduce the f32-input program exactly at test_scale=1."""
+    cfg, model, variables = model_and_vars
+    cfg2 = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(
+            cfg.data, pad_height=64, pad_width=128,
+            raw_height=64, raw_width=128,
+        ),
+    )
+    from monorun_tpu.data.pipeline import device_preprocess
+    from monorun_tpu.models import MonoRUn
+
+    model2 = MonoRUn(cfg2)
+    B = 2
+    rng = np.random.default_rng(3)
+    raw = jnp.asarray(rng.integers(0, 256, (B, 64, 128, 3), np.uint8))
+    native = jnp.asarray([[60.0, 120.0], [64.0, 128.0]])
+    K = jnp.asarray(
+        np.tile(
+            np.array([[70.0, 0, 64], [0, 70.0, 32], [0, 0, 1]], np.float32),
+            (B, 1, 1),
+        )
+    )
+    det_raw = model2.apply(
+        variables, raw, K, native, jax.random.PRNGKey(1),
+        method=model2.serve_raw,
+    )
+    imgs, shp = device_preprocess(raw, native, cfg2.data)
+    det_f32 = model2.apply(
+        variables, imgs, K, shp, jax.random.PRNGKey(1)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_raw.bboxes_3d), np.asarray(det_f32.bboxes_3d)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det_raw.valid), np.asarray(det_f32.valid)
+    )
