@@ -260,6 +260,68 @@ def main():
     # join the channel opener so compile+first reads genuine program cost,
     # not the tail of the first-fetch wall (cold total includes both ways)
     chan_thread.join()
+
+    # ---- self-validation: one structured scene through the REAL serving
+    # program before timing (split mode only — the monolithic jfwd only
+    # exposes the checksum). Catches a serving program that regresses to
+    # garbage (NaN poses, all-invalid slots) which random-noise checksums
+    # cannot. Weights are random here, so the bar is structural: finite
+    # outputs and >= 1 valid detection slot across the batch.
+    if split and os.environ.get("MONORUN_BENCH_VALIDATE", "1") == "1":
+        from monorun_tpu.utils.synthetic import synthetic_scene_batch
+
+        scene = synthetic_scene_batch(
+            cfg, BATCH,
+            (cfg.data.raw_height, cfg.data.raw_width) if RAW else (h, w),
+            seed=11,
+        )
+        v_cam = jnp.asarray(scene["cam"], jnp.float32)
+        allv = {**other, "params": params}
+        if RAW:
+            # scene images are already in normalized space: de-normalize
+            # to the uint8 camera domain; the device re-normalizes
+            mean = np.asarray(cfg.data.img_mean, np.float32)
+            std = np.asarray(cfg.data.img_std, np.float32)
+            v_img = jnp.asarray(
+                np.clip(scene["images"] * std + mean, 0, 255
+                        ).astype(np.uint8)
+            )
+            v_feats = warm_progs["backbone"](
+                allv, v_img, raw_shapes
+            )
+            from monorun_tpu.data.pipeline import scale_intrinsics
+
+            v_det = warm_progs["heads"](
+                allv, v_feats, scale_intrinsics(v_cam, s), shapes,
+                jax.random.PRNGKey(5),
+            )
+        else:
+            v_feats = warm_progs["backbone"](
+                allv, jnp.asarray(scene["images"], jnp.float32)
+            )
+            v_det = warm_progs["heads"](
+                allv, v_feats, v_cam, shapes, jax.random.PRNGKey(5),
+            )
+        v_valid = np.asarray(v_det.valid)
+        v_b3d = np.asarray(v_det.bboxes_3d)
+        v_cov = np.asarray(v_det.pose_cov)
+        n_valid = int(v_valid.sum())
+        finite = bool(
+            np.isfinite(v_b3d).all() and np.isfinite(v_cov).all()
+        )
+        print(
+            f"validate: {n_valid} valid detections, finite={finite}",
+            file=sys.stderr,
+        )
+        if not finite or n_valid < 1:
+            print(
+                json.dumps({
+                    "metric": "kitti_inference_frames_per_sec_per_chip",
+                    "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+                    "error": "serving program failed scene validation",
+                })
+            )
+            sys.exit(1)
     t0 = time.time()
     checksum = float(
         jfwd(live_p, images, jax.random.PRNGKey(1), jnp.float32(0))

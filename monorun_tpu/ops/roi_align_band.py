@@ -225,34 +225,39 @@ def _band_kernel_tiered(
 
 
 def _band_kernel_matmul(
-    c0_ref,              # (m_pad,) i32 — 16-snapped in-row origin
-    bbuf_ref,            # (nblk,) i32 — band's pyramid buffer id
-    bstart_ref,          # (nblk,) i32 — band's first resident row
-    bnew_ref,            # (nblk,) i32 — 1 if this block starts a new band
-    bslot_ref,           # (nblk,) i32 — which of the 2 band slots
+    c0rel_ref,           # (m_pad,) i32 — in-PANEL origin (16-aligned)
+    bbuf_ref,            # (nblk,) i32 — group's pyramid buffer id
+    bstart_ref,          # (nblk,) i32 — group band's first resident row
+    bpo_ref,             # (nblk,) i32 — group panel's first column
+    bnew_ref,            # (nblk,) i32 — 1 if this block starts a new group
+    bslot_ref,           # (nblk,) i32 — which of the 2 panel slots
+    bact_ref,            # (nblk,) i32 — 0 for trailing all-dummy blocks
     *refs,
     nbufs: int,
     kroi: int,
     th: int,
     tw: int,
+    pw: int,
     rp_list: Tuple[int, ...],
 ):
-    """Whole-block stage-1 matmul variant of _band_kernel.
+    """Whole-block stage-1 matmul over (band x column-panel) groups.
 
     The per-RoI kernel's stage-1 interp matmul runs at M=oh(=7), K=th(=32)
-    — ~2% MXU fill — and is wrapped in per-RoI column-tier branches that
-    Mosaic serializes. Here Y is built host-side over the FULL 64-row band
-    window (leading/trailing rows outside the RoI's tile get exact 0.0
-    weights), so stage 1 for a whole kroi-block is ONE matmul
+    — ~2% MXU fill — wrapped in per-RoI column-tier branches that Mosaic
+    serializes. Here RoIs are grouped host-side by (64-row band, 2*Tw-wide
+    column panel); Y is built over the FULL band window (rows outside the
+    RoI's tile get exact 0.0 weights), so stage 1 for a whole kroi-block
+    is ONE branch-free matmul
 
-        (kroi*oh, 64) @ band(64, W_b, C) -> t1 (kroi*oh, W_b, C)
+        (kroi*oh, 64) @ panel(64, pw, C) -> t1 (kroi*oh, pw, C)
 
-    at M=kroi*oh (112 for kroi=16), K=64, predicated only on the band's
-    buffer id (static W_b per buffer). Stage 2 stays per-RoI but is
-    branch-free at the full tile width (X's zero columns annihilate
-    unused taps): X (ow, tw) @ t1[r] window (oh, tw, C) -> (ow, oh, C).
-    The extra FLOPs over the full band width/row window are MXU-cheap
-    compared to the removed predication + M-underfill.
+    and stage 2 stays per-RoI but branch-free at the full tile width
+    (X's zero columns annihilate unused taps): X (ow, tw) @ t1[r] window
+    (oh, tw, C) -> (ow, oh, C). A full-band-width stage 1 (no panels) was
+    measured 107 ms vs the per-RoI kernel's 19 ms at 8k RoIs — the widest
+    buffer is 640 columns while any RoI touches <= 96, so panels are
+    load-bearing, as is the ``bact`` guard (panel grouping multiplies the
+    worst-case padded-slot bound; trailing dummy blocks must no-op).
 
     refs = [buf_0..buf_{nbufs-1}, y_ref, x_ref, out_ref, band, t1, sem].
     """
@@ -263,54 +268,60 @@ def _band_kernel_matmul(
     oh = out_ref.shape[1]
 
     def band_dma(bidx, action):
-        bbuf, bstart, slot = bbuf_ref[bidx], bstart_ref[bidx], bslot_ref[bidx]
+        bbuf, bstart = bbuf_ref[bidx], bstart_ref[bidx]
+        po, slot = bpo_ref[bidx], bslot_ref[bidx]
+        po = pl.multiple_of(po, 16)
         for b in range(nbufs):
+            wb = min(pw, rp_list[b])
             @pl.when(bbuf == b)
             def _():
                 cp = pltpu.make_async_copy(
-                    bufs[b].at[pl.ds(bstart, BAND_ROWS), :, :],
-                    band_ref.at[slot, :, : rp_list[b], :],
+                    bufs[b].at[
+                        pl.ds(bstart, BAND_ROWS), pl.ds(po, wb), :
+                    ],
+                    band_ref.at[slot, :, :wb, :],
                     sem.at[slot],
                 )
                 cp.start() if action == "start" else cp.wait()
 
-    @pl.when(blk == 0)
+    @pl.when(bact_ref[blk] == 1)
     def _():
-        # stale band columns beyond a narrow buffer's rp_b feed stage 1
-        # (full-width matmul): uninitialized VMEM may hold inf/NaN bit
-        # patterns that would poison t1 even under zero X weights
-        band_ref[...] = jnp.zeros_like(band_ref)
-        band_dma(0, "start")
-
-    @pl.when(bnew_ref[blk] == 1)
-    def _():
-        band_dma(blk, "wait")
-
-    @pl.when((blk + 1 < nblk) & (bnew_ref[blk + 1] == 1))
-    def _():
-        band_dma(blk + 1, "start")
-
-    slot = bslot_ref[blk]
-    for b in range(nbufs):
-        @pl.when(bbuf_ref[blk] == b)
+        @pl.when(blk == 0)
         def _():
-            wb = rp_list[b]
-            t1 = jax.lax.dot_general(
-                y_ref[...], band_ref[slot, :, :wb, :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                       # (kroi*oh, wb, C)
-            t1_ref[:, :wb, :] = t1.astype(t1_ref.dtype)
+            # stale panel columns beyond a narrow buffer's width feed the
+            # branch-free stage 1: uninitialized VMEM may hold inf/NaN
+            # bit patterns that would poison t1 under zero X weights
+            band_ref[...] = jnp.zeros_like(band_ref)
+            band_dma(0, "start")
 
-    for r in range(kroi):
-        c0 = pl.multiple_of(c0_ref[blk * kroi + r], 16)
-        t1r = t1_ref[pl.ds(r * oh, oh), pl.ds(c0, tw), :]   # (oh, tw, C)
-        out = jax.lax.dot_general(
-            x_ref[r].astype(t1_ref.dtype), t1r,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+        @pl.when(bnew_ref[blk] == 1)
+        def _():
+            band_dma(blk, "wait")
+
+        @pl.when(
+            (blk + 1 < nblk) & (bnew_ref[blk + 1] == 1)
+            & (bact_ref[blk + 1] == 1)
+        )
+        def _():
+            band_dma(blk + 1, "start")
+
+        slot = bslot_ref[blk]
+        t1 = jax.lax.dot_general(
+            y_ref[...], band_ref[slot],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                           # (ow, oh, C)
-        out_ref[r] = out.astype(out_ref.dtype)       # (ow, oh, C) raw
+        )                                           # (kroi*oh, pw, C)
+        t1_ref[...] = t1.astype(t1_ref.dtype)
+
+        for r in range(kroi):
+            c0 = pl.multiple_of(c0rel_ref[blk * kroi + r], 16)
+            t1r = t1_ref[pl.ds(r * oh, oh), pl.ds(c0, tw), :]  # (oh,tw,C)
+            out = jax.lax.dot_general(
+                x_ref[r].astype(t1_ref.dtype), t1r,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                       # (ow, oh, C)
+            out_ref[r] = out.astype(out_ref.dtype)   # (ow, oh, C) raw
 
 
 KPACK = 4               # RoIs K-stacked per interp matmul (4 * 32 = 128)
@@ -454,12 +465,19 @@ def multilevel_roi_align_band(
     the packed path is kept for future re-evaluation and is covered by
     the same oracle tests.
 
-    ``matmul`` runs stage 1 as one whole-block (kroi*oh, 64) @ band
-    matmul with Y built over the full band window (see
-    _band_kernel_matmul) and a branch-free full-width stage 2;
-    ``t1_dtype`` sets the stage-1 scratch precision (default f32 —
-    exact; bfloat16 halves the scratch and runs stage 2 at full MXU
-    rate at the cost of one bf16 rounding of the f32 stage-1 sums).
+    ``matmul`` runs stage 1 as one whole-block (kroi*oh, 64) @ panel
+    matmul with Y built over the full band window and (band, 2*Tw
+    column panel) grouping (see _band_kernel_matmul); ``t1_dtype`` sets
+    the stage-1 scratch precision (default f32 — exact). MEASURED SLOWER
+    than the per-RoI kernel on v5e at 8016 proposal-mix RoIs: panel
+    kroi=8 f32 33.7 ms / kroi=16 f32 41.6 / kroi=8 bf16 45.4 vs 19.15 ms
+    per-RoI (and 107 ms for a full-band-width stage 1 without panels;
+    kroi=16 without panels OOMs the 128 MB VMEM at wmax=640). MXU time
+    here tracks lane passes (N), not M-row fill, so batching RoIs along M
+    buys nothing while the full-panel N and the t1 VMEM round trip cost
+    ~2.4 ms/GB; the per-RoI kernel's column-tier-shaped matmuls minimize
+    N and keep t1 in registers. Kept for oracle-tested re-evaluation on
+    future Mosaic versions; default stays the per-RoI kernel.
 
     ``tiered`` buckets RoIs by (band, column tier) instead of band alone,
     making every kroi-block tier-uniform so the kernel's column-tier
@@ -557,7 +575,23 @@ def multilevel_roi_align_band(
     # per-BLOCK input). The band bookkeeping only depends on band order,
     # which every key here preserves.
     ncq = Tw // COL_BLK
-    if tiered:
+    if matmul:
+        # (band, column-panel) grouping: panel p of a buffer holds columns
+        # [po, po + pw) with po = clip(Tw * p, 0, rp_b - min(pw, rp_b)) —
+        # any RoI window [c0, c0 + Tw) with panel id c0 // Tw fits (the
+        # po clamp at the right edge still covers it since c0 + Tw <=
+        # rp_b). Buffers narrower than the panel collapse to panel 0.
+        pw = min(2 * Tw, wmax)
+        rp_arr = jnp.asarray(rp_list, jnp.int32)
+        wcap_arr = jnp.minimum(pw, rp_arr)
+        P = max(1, (wmax - Tw) // Tw + 1)
+        pnl = jnp.where(
+            rp_arr[buf_id] <= pw, 0, c0 // Tw
+        ).astype(jnp.int32)
+        group = band * P + pnl
+        n_groups = int(n_bands * P)
+        worst_runs = min(n_bands * P, m)
+    elif tiered:
         group = band * (ncq + 1) + ncb                    # tier in 1..ncq
         n_groups = int(n_bands * (ncq + 1))
         worst_runs = n_bands * ncq
@@ -598,7 +632,12 @@ def multilevel_roi_align_band(
         ) - 1,
         0, n_groups - 1,
     )
-    band_slotted = group_slotted // (ncq + 1) if tiered else group_slotted
+    if matmul:
+        band_slotted = group_slotted // P
+    elif tiered:
+        band_slotted = group_slotted // (ncq + 1)
+    else:
+        band_slotted = group_slotted
     dummy_buf, dummy_start = band_start_of(band_slotted)
 
     # which original RoI each padded slot reads; dummy slots (rank past
@@ -625,9 +664,10 @@ def multilevel_roi_align_band(
 
     blk_band = band_slotted[:: kroi]                      # (nblk,)
     blk_buf, blk_start = band_start_of(blk_band)
+    blk_key = group_slotted[:: kroi] if matmul else blk_band
     blk_new = jnp.concatenate(
         [jnp.ones((1,), jnp.int32),
-         (blk_band[1:] != blk_band[:-1]).astype(jnp.int32)]
+         (blk_key[1:] != blk_key[:-1]).astype(jnp.int32)]
     )
     blk_slot = ((jnp.cumsum(blk_new) - 1) % 2).astype(jnp.int32)
     if tiered:
@@ -637,6 +677,25 @@ def multilevel_roi_align_band(
 
     if matmul:
         t1dt = t1_dtype or jnp.float32
+        # panel column origin per block (16-aligned: Tw*p and rp - wcap
+        # are both multiples of 16 — prepare_flat_pyramid rounds rp up)
+        blk_pnl = (group_slotted[:: kroi] % P).astype(jnp.int32)
+        blk_po = jnp.clip(
+            jnp.minimum(
+                Tw * blk_pnl, rp_arr[blk_buf] - wcap_arr[blk_buf]
+            ),
+            0, None,
+        ).astype(jnp.int32)
+        # in-panel window origin per slot; dummy slots clamp to 0 (their
+        # X weights are zero, any in-bounds read is fine)
+        po_slot = jnp.repeat(blk_po, kroi)
+        c0rel_p = jnp.clip(c0_p - po_slot, 0, None).astype(jnp.int32)
+        # trailing blocks past the real padded extent are all-dummy; the
+        # kernel skips them entirely (worst_runs * (kroi-1) bounds the
+        # static grid far above the actual padded slot count)
+        blk_act = (
+            jnp.arange(nblk, dtype=jnp.int32) * kroi < cum_padded[-1]
+        ).astype(jnp.int32)
         # (m_pad, oh, 64) -> (m_pad*oh, 64): the kernel's y block is the
         # whole block's Y stacked along M, and merging the leading dims
         # host-side keeps the in-kernel access a plain block slice
@@ -644,10 +703,10 @@ def multilevel_roi_align_band(
         out = pl.pallas_call(
             functools.partial(
                 _band_kernel_matmul, nbufs=nbufs, kroi=kroi, th=Th, tw=Tw,
-                rp_list=rp_list,
+                pw=pw, rp_list=rp_list,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=5,
+                num_scalar_prefetch=7,
                 grid=(nblk,),
                 in_specs=(
                     [pl.BlockSpec(memory_space=pl.ANY)] * nbufs
@@ -662,8 +721,8 @@ def multilevel_roi_align_band(
                     (kroi, oh, ow, C), lambda i, *_: (i, 0, 0, 0)
                 ),
                 scratch_shapes=[
-                    pltpu.VMEM((2, BAND_ROWS, wmax, C), fdtype),
-                    pltpu.VMEM((kroi * oh, wmax, C), t1dt),
+                    pltpu.VMEM((2, BAND_ROWS, pw, C), fdtype),
+                    pltpu.VMEM((kroi * oh, pw, C), t1dt),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
@@ -672,7 +731,8 @@ def multilevel_roi_align_band(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=110 * 1024 * 1024,
             ),
-        )(c0_p, blk_buf, blk_start, blk_new, blk_slot, *bufs, y_flat, X_p)
+        )(c0rel_p, blk_buf, blk_start, blk_po, blk_new, blk_slot, blk_act,
+          *bufs, y_flat, X_p)
         # restore original RoI order + orientation (shared epilogue)
         slot_of_orig = slot_sorted[jnp.argsort(order)]
         out = out[slot_of_orig]

@@ -233,8 +233,10 @@ def prepare_flat_pyramid(features: Sequence[Array]):
         # extend up to 15 columns past the level extent (zero-weighted
         # taps); guard rows catch vertical overruns of short buffers AND
         # guarantee >= GUARD_ROWS rows for the band-sweep kernel's fixed
-        # 64-row band windows
-        rp = max(rlen, MAX_TW) + 16
+        # 64-row band windows. rp is rounded up to the 16-column sublane
+        # snap so the band-matmul kernel's panel origins (rp - panel
+        # width) stay 16-aligned for any level size.
+        rp = -(-max(rlen, MAX_TW) // 16) * 16 + 16
         g = jnp.pad(f3, ((0, 0), (0, 0), (0, rp - rlen), (0, 0)))
         g = g.reshape(B * rows, rp, C)
         guard = max(MAX_TH, GUARD_ROWS - B * rows)
