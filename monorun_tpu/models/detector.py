@@ -41,6 +41,18 @@ from .score_head import ScoreHead
 
 Array = jnp.ndarray
 
+# Adaptive-sampling caps for the RoI aligns. mmcv RoIAlign with
+# sampling_ratio=0 averages ceil(span/bins) samples per bin UNCAPPED
+# (reference binding configs/kitti_multiclass.py:40,85); a fixed cap
+# keeps the interp matrices static. 6 (7x7) / 4 (14x14) cover every RoI
+# the mmdet level assignment admits up to effective aspect ratio ~4.6;
+# the old cap of 3 measurably skewed wide (car-shaped) boxes at their
+# assigned level (composed 3D golden parity, tests/test_golden_detector
+# .py) — beyond these caps only boxes already moved by the long-span
+# level cap deviate (ops/roi_align.py:assign_fpn_levels).
+MAX_RATIO_7 = 6
+MAX_RATIO_14 = 4
+
 
 class Detections(NamedTuple):
     """Fixed-shape per-image detection results."""
@@ -205,7 +217,8 @@ class MonoRUn(nn.Module):
         roi_feats = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
+            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24,
+            pyramid=pyr,
         )
         cls_logits, deltas = self.bbox_head(roi_feats)
 
@@ -245,7 +258,8 @@ class MonoRUn(nn.Module):
         reg_feats = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
+            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24,
+            pyramid=pyr,
         )
         gout = self.global_head(reg_feats, train=False, rng=rng_mc)
         dim_enc, dim_var_enc, latent, latent_var = slice_pred(
@@ -260,7 +274,8 @@ class MonoRUn(nn.Module):
             feats[: len(cfg.noc_head.featmap_strides)], det_rois,
             _align_strides(cfg, cfg.noc_head.featmap_strides),
             (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
-            cfg.noc_head.finest_scale, max_ratio=2, tile_h=32, pyramid=pyr,
+            cfg.noc_head.finest_scale, max_ratio=MAX_RATIO_14, tile_h=32,
+            pyramid=pyr,
         )
         flip = jnp.zeros((B * K,), bool)
         nout = self.noc_head(
@@ -512,7 +527,8 @@ def _train_forward(
     roi_feats = multilevel_roi_align_auto(
         feats[: len(cfg.bbox_head.featmap_strides)], rois,
         _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-        cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
+        cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24,
+            pyramid=pyr,
     )
     cls_logits, deltas = self.bbox_head(roi_feats)
 
@@ -616,7 +632,8 @@ def _train_forward(
     reg_feats = multilevel_roi_align_auto(
         feats[: len(cfg.bbox_head.featmap_strides)], pos_rois,
         _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-        cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24, pyramid=pyr,
+        cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24,
+            pyramid=pyr,
     )
     gout = self.global_head(reg_feats, train=True, rng=rng_gh)
     dim_enc, _, latent, _ = slice_pred(
@@ -637,7 +654,8 @@ def _train_forward(
         feats[: len(cfg.noc_head.featmap_strides)], pos_rois,
         _align_strides(cfg, cfg.noc_head.featmap_strides),
         (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
-        cfg.noc_head.finest_scale, max_ratio=2, tile_h=32, pyramid=pyr,
+        cfg.noc_head.finest_scale, max_ratio=MAX_RATIO_14, tile_h=32,
+            pyramid=pyr,
     )
     flip_pos = jnp.repeat(batch["flip"], P)
     nout = self.noc_head(

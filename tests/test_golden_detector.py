@@ -197,3 +197,257 @@ def test_composed_roialign_bboxhead_parity(stacks):
     _assert_close(j_roi, _nhwc(t_roi), "roi_align 7x7 (all levels)")
     _assert_close(j_cls, t_cls.detach().numpy(), "bbox head cls logits")
     _assert_close(j_deltas, t_deltas.detach().numpy(), "bbox head deltas")
+
+
+# ---------------------------------------------------------------------------
+# Composed 3D heads (VERDICT r4 #4): the full simple_test sequencing
+# (monorun_roi_head.py:442-605) — MC global -> dim decode -> NOC + latent
+# injection + CARAFE -> coord decode -> proj-logstd fold -> score — at
+# flagship widths, depth-101, dense FPN, with PnP bypassed by feeding both
+# stacks identical pose inputs (its own exact oracle lives in test_pnp.py).
+# ---------------------------------------------------------------------------
+
+from torch_ref.heads import (
+    FCExtractorTorch,
+    FCNNOCDecoderTorch,
+    MLPScoreHeadTorch,
+)
+
+
+class _PoseHolder(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.cov_calib_logscale = torch.nn.Parameter(torch.zeros(4))
+
+
+class _Full3DTorch(torch.nn.Module):
+    """DetectorTorso + the 3D-head replicas under the reference key space
+    (roi_head.global_head / noc_head / score_head / pose_head)."""
+
+    def __init__(self, depth):
+        super().__init__()
+        t = DetectorTorso(depth=depth)
+        self.backbone = t.backbone
+        self.neck = t.neck
+        self.rpn_head = t.rpn_head
+        self.roi_head = t.roi_head
+        self.roi_head.global_head = FCExtractorTorch()
+        self.roi_head.noc_head = FCNNOCDecoderTorch()
+        self.roi_head.score_head = MLPScoreHeadTorch()
+        self.roi_head.pose_head = _PoseHolder()
+
+    def stages(self, img):
+        self.eval()
+        feats = self.backbone(img)
+        fpn = self.neck(feats)
+        cls_scores, bbox_preds = self.rpn_head(fpn[1:])
+        return feats, fpn, cls_scores, bbox_preds
+
+
+@pytest.fixture(scope="module")
+def stacks3d(tmp_path_factory):
+    cfg = get_config("kitti_multiclass")
+    cfg = dataclasses.replace(
+        cfg,
+        compute_dtype="float32",
+        backbone=dataclasses.replace(cfg.backbone, depth=101),
+        neck=dataclasses.replace(cfg.neck, lazy_lower=False),
+        # deterministic factored MC (fc_extractor_monte_carlo.py:24 with
+        # dropout off -> every sample equals the mean, variance ~0)
+        global_head=dataclasses.replace(
+            cfg.global_head, dropout_rate=0.0, dropout2d_rate=0.0,
+            mc_samples=3,
+        ),
+        test=dataclasses.replace(
+            cfg.test, rpn_nms_pre=128, rpn_nms_post=128, max_per_img=8,
+            head_slots=0, debug=True,
+        ),
+    )
+    rng = np.random.default_rng(23)
+    tm = _Full3DTorch(depth=101)
+    _rescale_torso(tm, rng)
+    # BatchNormSmooth1D buffers + cov calib are extra checkpoint state
+    # (SURVEY §5): randomize so the converter mapping has real effect
+    pn = tm.roi_head.score_head.pose_norm
+    pn.weight.data = torch.from_numpy(
+        rng.uniform(0.8, 1.2, 17).astype(np.float32))
+    pn.bias.data = torch.from_numpy(
+        rng.normal(0, 0.05, 17).astype(np.float32))
+    pn.running_mean.data = torch.from_numpy(
+        rng.normal(0, 0.5, 17).astype(np.float32))
+    pn.running_var.data = torch.from_numpy(
+        rng.uniform(0.5, 2.0, 17).astype(np.float32))
+    tm.roi_head.pose_head.cov_calib_logscale.data = torch.from_numpy(
+        rng.uniform(-0.3, 0.3, 4).astype(np.float32))
+    # random regression deltas saturate the box decode into full-width
+    # slivers; near-zero them so detections stay proposal/anchor-shaped
+    # (well-formed boxes across scales for the align parity downstream)
+    tm.rpn_head.rpn_reg.weight.data *= 0.01
+    tm.rpn_head.rpn_reg.bias.data *= 0.01
+    tm.roi_head.bbox_head.fc_reg.weight.data *= 0.01
+    tm.roi_head.bbox_head.fc_reg.bias.data *= 0.01
+
+    pth = str(tmp_path_factory.mktemp("golden3d") / "full3d.pth")
+    torch.save({"state_dict": tm.state_dict()}, pth)
+
+    model, variables = init_detector(cfg, jax.random.PRNGKey(0), (H, W),
+                                     fast=True)
+    params, batch_stats, _, report = convert_torch_checkpoint(
+        pth, variables["params"], variables["batch_stats"]
+    )
+    bad = {k: v for k, v in report.items() if v != "ok"}
+    assert not bad, bad
+    variables = {"params": params, "batch_stats": batch_stats}
+    img = rng.normal(0, 1, (1, H, W, 3)).astype(np.float32)
+    return cfg, model, variables, tm, img
+
+
+def _align_at_levels(t_fpn, rois_np, lvls, out_size, strides):
+    import torch as _t
+
+    return _t.cat([
+        roi_align_torch(
+            t_fpn[int(l)],
+            _t.from_numpy(rois_np[i : i + 1]), out_size,
+            spatial_scale=1.0 / strides[int(l)], sampling_ratio=0,
+            aligned=True,
+        )
+        for i, l in enumerate(lvls)
+    ])
+
+
+def test_composed_3d_heads_through_noc(stacks3d):
+    """Drive the REAL jitted serving graph (debug extras on) and replicate
+    the 3D-head composition in torch on the same detection boxes; assert
+    latent vectors, decoded NOC coordinate maps, and folded proj stds."""
+    cfg, model, variables, tm, img = stacks3d
+    cam = np.asarray(
+        [[[70.0, 0, 128.0], [0, 70.0, 48.0], [0, 0, 1.0]]], np.float32
+    )
+    shapes = np.asarray([[float(H), float(W)]], np.float32)
+    det = jax.jit(lambda v, x, c, s, r: model.apply(v, x, c, s, r))(
+        variables, jnp.asarray(img), jnp.asarray(cam),
+        jnp.asarray(shapes), jax.random.PRNGKey(7),
+    )
+    boxes = np.asarray(det.bboxes_2d[0])            # (M, 4)
+    labels = np.asarray(det.labels[0])
+    # use slots with a real box (NMS-kept): zero-size padded slots hold
+    # degenerate geometry where relative comparisons are meaningless
+    keep = (boxes[:, 2] - boxes[:, 0] > 2) & (boxes[:, 3] - boxes[:, 1] > 2)
+    assert keep.sum() >= 2, boxes
+    idx = np.where(keep)[0]
+    rois_np = np.concatenate(
+        [np.zeros((len(idx), 1), np.float32), boxes[idx]], axis=1
+    )
+    labels_t = torch.from_numpy(labels[idx].astype(np.int64))
+
+    with torch.no_grad():
+        _, t_fpn, _, _ = tm.stages(
+            torch.from_numpy(np.moveaxis(img, -1, 1).copy())
+        )
+        from monorun_tpu.ops.roi_align import assign_fpn_levels
+
+        bstr = cfg.bbox_head.featmap_strides
+        lvls7 = np.asarray(assign_fpn_levels(
+            jnp.asarray(rois_np), len(bstr), cfg.bbox_head.finest_scale,
+            long_span_cap=96 - 18, stride0=float(bstr[0]),
+        ))
+        reg7 = _align_at_levels(t_fpn, rois_np, lvls7, (7, 7), bstr)
+        dim_latent, reg_fc = tm.roi_head.global_head(reg7)
+        n = dim_latent.shape[0]
+        inds = torch.arange(n)
+        dl = dim_latent.view(n, 3, 19)[inds, labels_t]
+        dim_enc, latent = dl[:, :3], dl[:, 3:]
+        means = torch.tensor(cfg.global_head.dim_means)[labels_t]
+        stds = torch.tensor(cfg.global_head.dim_stds)[labels_t]
+        dims = dim_enc * stds + means                 # dim_coder.decode
+
+        nstr = cfg.noc_head.featmap_strides
+        lvls14 = np.asarray(assign_fpn_levels(
+            jnp.asarray(rois_np), len(nstr), cfg.noc_head.finest_scale,
+            long_span_cap=96 - 18, stride0=float(nstr[0]),
+        ))
+        noc14 = _align_at_levels(t_fpn, rois_np, lvls14, (14, 14), nstr)
+        noc, logstd = tm.roi_head.noc_head(
+            noc14, latent, labels_t, torch.zeros(n, dtype=torch.long)
+        )
+        # coord_coder.decode (noc_coder.py:48-73), noc_var=None
+        nmeans = torch.tensor(cfg.noc_head.noc_means)[:, None, None]
+        nstds = torch.tensor(cfg.noc_head.noc_stds)[:, None, None]
+        part_norm = noc * nstds + nmeans
+        coords3d = part_norm * dims[:, :, None, None]
+        # proj decode_logstd with coords_3d_var -> 0 (MC var is ~0 with
+        # dropout off) and distance None reduces to the identity fold
+        std_exp = torch.exp(logstd)
+
+    # jax side: the REAL serving graph's debug extras
+    oc = np.asarray(det.extras["oc_maps"][0])[idx]    # (n, 28, 28, 3)
+    sd = np.asarray(det.extras["std_maps"][0])[idx]   # (n, 28, 28, 2)
+    lv = np.asarray(det.extras["latent_vecs"][0])[idx]
+
+    _assert_close(lv, latent.numpy(), "latent vectors (MC mean)")
+    _assert_close(
+        oc, np.moveaxis(coords3d.numpy(), 1, -1), "decoded NOC maps",
+        rtol=4e-3,
+    )
+    _assert_close(
+        sd, np.moveaxis(std_exp.numpy(), 1, -1), "folded proj stds",
+        rtol=4e-3,
+    )
+
+
+def test_composed_score_stage_identical_pose(stacks3d):
+    """Score-head stage on identical fed poses (PnP bypassed): calibrated
+    covariance (uncert_prop_pnp_optimizer.py:96-97) -> distance correction
+    (distance_invar_proj_error_coder.py:62-63) -> BatchNormSmooth1D + MLP
+    fusion (mlp_score_head.py:94-115) -> sigmoid scores."""
+    cfg, model, variables, tm, img = stacks3d
+    rng = np.random.default_rng(5)
+    n = 6
+    yaw = rng.uniform(-np.pi, np.pi, (n, 1)).astype(np.float32)
+    t_vec = np.stack([
+        rng.uniform(-5, 5, n), rng.uniform(-1, 2, n), rng.uniform(4, 30, n)
+    ], 1).astype(np.float32)
+    a = rng.normal(0, 0.3, (n, 4, 4)).astype(np.float32)
+    cov = a @ np.swapaxes(a, 1, 2) + 0.05 * np.eye(4, dtype=np.float32)
+    dims = rng.uniform(0.5, 4.0, (n, 3)).astype(np.float32)
+    reg_fc = rng.normal(0, 0.5, (n, 1024)).astype(np.float32)
+
+    with torch.no_grad():
+        s = tm.roi_head.pose_head.cov_calib_logscale.exp()
+        calib = (s[:, None] * s[None, :]).numpy() * cov
+        dist = np.linalg.norm(t_vec, axis=1)          # distance_mode=range
+        denom = (cfg.projection_head.ref_length
+                 * cfg.projection_head.ref_focal_y
+                 * cfg.projection_head.target_std)
+        corr = calib * (denom / dist[:, None, None]) ** 2
+        t_logit = tm.roi_head.score_head(
+            torch.from_numpy(reg_fc), torch.from_numpy(yaw),
+            torch.from_numpy(t_vec), torch.from_numpy(corr),
+            torch.from_numpy(dims),
+        )
+        t_scores = torch.sigmoid(t_logit).numpy()
+
+    from monorun_tpu.coders import ProjErrorCoder
+
+    def score_fwd(m, cov_in, rf, yw, tv, dm):
+        calib_j = m.calibrated_cov(cov_in)
+        pc = ProjErrorCoder(
+            cfg.projection_head.ref_length,
+            cfg.projection_head.ref_focal_y,
+            cfg.projection_head.target_std,
+        )
+        d = jnp.linalg.norm(tv, axis=1)
+        corr_j = pc.cov_correction(calib_j, jnp.clip(d, 1e-3, None))
+        logits = m.score_head(rf, yw, tv, corr_j, dm, train=False)
+        return jax.nn.sigmoid(logits), calib_j, corr_j
+
+    j_scores, j_calib, j_corr = jax.jit(
+        lambda v, *a: model.apply(v, *a, method=score_fwd)
+    )(
+        variables, jnp.asarray(cov), jnp.asarray(reg_fc),
+        jnp.asarray(yaw), jnp.asarray(t_vec), jnp.asarray(dims),
+    )
+    _assert_close(j_calib, calib, "calibrated covariance")
+    _assert_close(j_corr, corr, "distance-corrected covariance")
+    _assert_close(j_scores, t_scores, "3D localization scores")
