@@ -382,6 +382,38 @@ def _fast_r50(base: MonoRUnConfig) -> MonoRUnConfig:
     )
 
 
+def _fast2(base: MonoRUnConfig, name: str, depth: int) -> MonoRUnConfig:
+    """The next fast-ladder rung past _fast: every per-detection cost
+    halved on top of the 0.75x/512-proposal cuts.
+
+    * rpn_nms_post 512 -> 256: half the proposal-scale RoIAlign + bbox
+      head work (reference budget: 1000, configs/kitti_multiclass.py:202)
+    * head_slots 48 -> 24: the 3D heads run on the 24 best 2D detections
+      (KITTI scenes rarely hold more than ~15 scored cars)
+    * mc_samples 50 -> 16: the factored-MC epistemic variance estimate
+      uses 16 Bernoulli samples (reference hard-codes 50,
+      fc_extractor_monte_carlo.py:24) — unbiased, ~1.8x noisier std
+    * dense_size 28 -> 14: the NOC/uncertainty maps stay at the RoI grid
+      (no CARAFE 2x upsample; PnP solves 196- instead of 784-point
+      problems; reference dense_size=28, configs/kitti_multiclass.py:191).
+      Skipping the upsample changes the decoder function -> this rung,
+      like _fast_r50, implies retraining.
+
+    Costed in README 'Fast presets'; AP-guarded by the e2e synthetic
+    harness; real-KITTI validation protocol as for _fast."""
+    fast = _fast(base, name)
+    return _replace(
+        fast,
+        backbone=_replace(fast.backbone, depth=depth),
+        test=_replace(
+            fast.test, rpn_nms_pre=256, rpn_nms_post=256, head_slots=24,
+        ),
+        global_head=_replace(fast.global_head, mc_samples=16),
+        noc_head=_replace(fast.noc_head, dense_size=14),
+        train=_replace(fast.train, dense_size=14),
+    )
+
+
 def _lidar_supv(base: MonoRUnConfig, name: str) -> MonoRUnConfig:
     """LiDAR-supervised preset: NOC loss on, obj_crd prefix, dropout2d 0.5
     (configs/kitti_multiclass_lidar_supv.py deltas)."""
@@ -423,6 +455,12 @@ def get_config(name: str) -> MonoRUnConfig:
         # forces all of this off.
         "kitti_multiclass_fast": _fast(base, "kitti_multiclass_fast"),
         "kitti_multiclass_fast_r50": _fast_r50(base),
+        "kitti_multiclass_fast2": _fast2(
+            base, "kitti_multiclass_fast2", depth=101
+        ),
+        "kitti_multiclass_fast2_r50": _fast2(
+            base, "kitti_multiclass_fast2_r50", depth=50
+        ),
     }
     if name not in presets:
         raise KeyError(f"unknown config '{name}'; have {sorted(presets)}")

@@ -127,21 +127,26 @@ class NOCHead(nn.Module):
         )(latent.astype(self.dtype))
         x = x + deform[:, None, None, :]
 
-        x = CARAFEPack(
-            channels=c.conv_out_channels,
-            scale=2,
-            up_kernel=c.carafe_up_kernel,
-            encoder_kernel=c.carafe_encoder_kernel,
-            compressed_channels=c.carafe_compressed_channels,
-            dtype=self.dtype,
-            name="upsample",
-        )(x)
+        if c.dense_size > c.roi_size:
+            x = CARAFEPack(
+                channels=c.conv_out_channels,
+                scale=2,
+                up_kernel=c.carafe_up_kernel,
+                encoder_kernel=c.carafe_encoder_kernel,
+                compressed_channels=c.carafe_compressed_channels,
+                dtype=self.dtype,
+                name="upsample",
+            )(x)
 
-        for i in range(c.num_convs_upsampled):
-            x = nn.relu(
-                nn.Conv(c.conv_out_channels, (3, 3), padding=1,
-                        dtype=self.dtype, name=f"conv_up{i}")(x)
-            )
+            for i in range(c.num_convs_upsampled):
+                x = nn.relu(
+                    nn.Conv(c.conv_out_channels, (3, 3), padding=1,
+                            dtype=self.dtype, name=f"conv_up{i}")(x)
+                )
+        # else: dense_size == roi_size (fast2 preset) — the NOC map stays
+        # on the RoI grid, no CARAFE/post-conv (reference always
+        # upsamples, fcn_noc_decoder.py:121-124; this cut implies
+        # retraining and is AP-guarded like the other fast rungs)
 
         noc, logstd = _SlicedConvFinal(
             cfg=c, dtype=self.dtype, name="conv_final"

@@ -120,3 +120,40 @@ def test_run_eval_maps_boxes_back_to_native(kitti_dir):
     line = open(os.path.join(result_dir, "000000.txt")).readline().split()
     bbox = np.asarray(line[4:8], np.float32)
     np.testing.assert_allclose(bbox, [80.0, 40.0, 140.0, 90.0], atol=1e-3)
+
+
+def test_fast2_preset_shapes():
+    """fast2 rung: 256 proposals, 24 head slots, 16 MC samples, 14x14
+    dense maps (no CARAFE). The NOC head must emit roi-grid-sized maps
+    and the config must stay internally consistent."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monorun_tpu.config import get_config
+    from monorun_tpu.models.noc_head import NOCHead
+
+    cfg = get_config("kitti_multiclass_fast2")
+    assert cfg.test.rpn_nms_post == 256
+    assert cfg.test.head_slots == 24
+    assert cfg.global_head.mc_samples == 16
+    assert cfg.noc_head.dense_size == cfg.noc_head.roi_size == 14
+    assert cfg.train.dense_size == 14
+    assert get_config("kitti_multiclass_fast2_r50").backbone.depth == 50
+
+    nh = NOCHead(cfg.noc_head, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 14, 14, 256)).astype(
+            np.float32
+        )
+    )
+    lat = jnp.zeros((4, cfg.noc_head.latent_channels), jnp.float32)
+    lbl = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    flp = jnp.zeros((4,), bool)
+    v = nh.init(jax.random.PRNGKey(0), x, lat, lbl, flp, False)
+    out = nh.apply(v, x, lat, lbl, flp, False)
+    assert out.noc_pred.shape == (4, 14, 14, 3)
+    assert out.proj_logstd.shape == (4, 14, 14, 2)
+    # no CARAFE/post-conv params exist in this configuration
+    assert "upsample" not in v["params"]
+    assert not any(k.startswith("conv_up") for k in v["params"])
