@@ -366,15 +366,20 @@ class MonoRUn(nn.Module):
 
         # ---- per-class rotated-BEV 3D NMS ---------------------------------
         # one fixpoint pass with per-class center offsets replaces three
-        # sequential greedy loops (300 serialized steps -> ~10 matrix ops);
-        # the fixpoint converges to the exact greedy set (tests/test_nms.py)
+        # sequential greedy loops (300 serialized steps -> matrix ops);
+        # fixpoint_iters=K makes the fixpoint EXACT for any suppression
+        # chain (depth cannot exceed the slot count) at the cost of a few
+        # extra (K, K) passes — the old fixed 12 iterations only upper-
+        # bounded the greedy set on chains deeper than 12
         def _nms3d_single(b3d, labels_i, valid_i):
             bev = b3d[:, jnp.asarray([3, 5, 0, 2, 6])]   # x, z, l, w, ry
             extent = 1e4
             off = (labels_i.astype(bev.dtype) * extent)[:, None]
             bev = bev.at[:, :2].add(off)
             s = jnp.where(valid_i, b3d[:, 7], NEG_INF)
-            idx, v = nms_rotated_bev(bev, s, tc.nms_3d_thr, K, exact=False)
+            idx, v = nms_rotated_bev(
+                bev, s, tc.nms_3d_thr, K, exact=False, fixpoint_iters=K,
+            )
             return jnp.zeros((K,), bool).at[idx].set(v)
 
         keep3d = jax.vmap(_nms3d_single)(

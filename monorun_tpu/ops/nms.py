@@ -159,11 +159,20 @@ def nms_rotated_bev(
     iou_thr: float,
     max_out: int,
     exact: bool = True,
+    fixpoint_iters: int = 12,
 ) -> Tuple[Array, Array]:
-    """Rotated-BEV NMS, replacing mmdet3d nms_gpu (monorun_roi_head.py:638)."""
+    """Rotated-BEV NMS, replacing mmdet3d nms_gpu (monorun_roi_head.py:638).
+
+    With ``exact=False``, ``fixpoint_iters`` bounds the suppression-chain
+    depth the fixpoint resolves; an even application count upper-bounds
+    the greedy set (extra boxes kept on deeper chains). ``fixpoint_iters
+    >= n`` makes the fixpoint EXACT for any input (a chain cannot exceed
+    the box count) — the serving path passes its head-slot count, which
+    costs a few extra tiny (n, n) passes and removes the approximation
+    (tests/test_nms.py::test_fixpoint_full_depth_chain_is_exact)."""
     return _nms_impl(
         lambda b: rotated_iou(b, b), boxes, scores, iou_thr, max_out, exact,
-        12,
+        fixpoint_iters,
     )
 
 

@@ -130,3 +130,50 @@ def test_iou_matrix_basic():
     np.testing.assert_allclose(
         np.asarray(bbox_iou_matrix(a, b)), [[50.0 / 150.0]], rtol=1e-6
     )
+
+
+def test_fixpoint_full_depth_chain_is_exact():
+    """Adversarial suppression chain deeper than the old 12-iteration
+    bound: boxes in a line where each overlaps only its neighbours, so
+    greedy keeps alternating boxes and the fixpoint needs ~chain-depth
+    applications. With fixpoint_iters >= n the fixpoint must equal the
+    exact greedy set (the serving path passes its head-slot count)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monorun_tpu.ops.nms import nms_rotated_bev
+
+    n = 48
+    # BEV boxes [x, z, l, w, ry] spaced so IoU(i, i+1) ~ 1/3 > thr and
+    # IoU(i, i+2) = 0; descending scores form a maximal-depth chain
+    boxes = np.zeros((n, 5), np.float32)
+    boxes[:, 0] = np.arange(n) * 1.0      # x centers, spacing 1
+    boxes[:, 2] = 2.0                     # l (x extent)
+    boxes[:, 3] = 1.0                     # w
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    thr = 0.2
+
+    idx_e, v_e = nms_rotated_bev(
+        jnp.asarray(boxes), jnp.asarray(scores), thr, n, exact=True
+    )
+    kept_exact = np.zeros(n, bool)
+    kept_exact[np.asarray(idx_e)[np.asarray(v_e)]] = True
+    # greedy on this chain keeps exactly the even indices
+    assert kept_exact.tolist() == [i % 2 == 0 for i in range(n)]
+
+    idx_12, v_12 = nms_rotated_bev(
+        jnp.asarray(boxes), jnp.asarray(scores), thr, n, exact=False,
+        fixpoint_iters=12,
+    )
+    kept_12 = np.zeros(n, bool)
+    kept_12[np.asarray(idx_12)[np.asarray(v_12)]] = True
+    # the old fixed bound is only an UPPER bound on deep chains
+    assert kept_12.sum() >= kept_exact.sum()
+
+    idx_f, v_f = nms_rotated_bev(
+        jnp.asarray(boxes), jnp.asarray(scores), thr, n, exact=False,
+        fixpoint_iters=n,
+    )
+    kept_f = np.zeros(n, bool)
+    kept_f[np.asarray(idx_f)[np.asarray(v_f)]] = True
+    assert kept_f.tolist() == kept_exact.tolist()
