@@ -20,7 +20,11 @@ import numpy as np
 
 from monorun_tpu.coders import DimCoder, NOCCoder, ProjErrorCoder
 from monorun_tpu.config import get_config
-from monorun_tpu.models.detector import _align_strides
+from monorun_tpu.models.detector import (
+    MAX_RATIO_7,
+    MAX_RATIO_14,
+    _align_strides,
+)
 from monorun_tpu.models import init_detector
 from monorun_tpu.models.bbox_head import get_det_bboxes
 from monorun_tpu.models.global_head import slice_pred
@@ -39,9 +43,20 @@ N_SHORT, N_LONG = 4, 16
 
 
 def main():
+    import threading
+
+    # pay the tunnel's one-time first-fetch wall early (see bench.py)
+    threading.Thread(
+        target=lambda: float(
+            jax.jit(lambda a: a + 1.0)(jnp.zeros((8, 128), jnp.float32))[0, 0]
+        ),
+        daemon=True,
+    ).start()
+
     cfg = get_config("kitti_multiclass")
     h, w = cfg.data.pad_height, cfg.data.pad_width
-    model, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w))
+    model, variables = init_detector(cfg, jax.random.PRNGKey(0), (h, w),
+                                     fast=True)
     from monorun_tpu.apis.inference import _precast_kernels
 
     variables = _precast_kernels(cfg, variables)
@@ -81,7 +96,7 @@ def main():
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
+            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24)
         return feats, rf
 
     def upto_bbox(m, x):
@@ -90,7 +105,7 @@ def main():
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
+            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24)
         cls_logits, deltas = m.bbox_head(rf)
         det = jax.vmap(lambda r, cl, dl, vv: get_det_bboxes(
             r, cl, dl, vv, pad_shape, cfg.bbox_head, tc.score_thr,
@@ -99,21 +114,26 @@ def main():
             deltas.reshape(B, P, -1), valid)
         return feats, det
 
+    # head-slot bucketing exactly as the serving graph (detector.py):
+    # NMS slots come out score-sorted, the 3D heads see the top K only
+    K = tc.head_slots if 0 < tc.head_slots < M else M
+
     def _dets(m, x):
         feats, det = upto_bbox(m, x)
         det_boxes, det_scores, det_labels, det_valid = det
         det_labels = jnp.clip(det_labels, 0, cfg.bbox_head.num_classes - 1)
-        db = jnp.repeat(jnp.arange(B, dtype=det_boxes.dtype), M)
+        hd_boxes = det_boxes[:, :K]
+        db = jnp.repeat(jnp.arange(B, dtype=det_boxes.dtype), K)
         det_rois = jnp.concatenate(
-            [db[:, None], det_boxes.reshape(B * M, 4)], axis=1)
-        return feats, det_rois, det_labels.reshape(B * M)
+            [db[:, None], hd_boxes.reshape(B * K, 4)], axis=1)
+        return feats, det_rois, det_labels[:, :K].reshape(B * K)
 
     def upto_global(m, x):
         feats, det_rois, flat_labels = _dets(m, x)
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
+            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24)
         gout = m.global_head(rf, train=False, rng=key)
         dim_enc, dim_var_enc, latent, latent_var = slice_pred(
             cfg.global_head, gout.dim_latent_pred, gout.dim_latent_var,
@@ -128,7 +148,7 @@ def main():
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=3, tile_h=24)
+            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24)
         gout = m.global_head(rf, train=False, rng=key)
         dim_enc, dim_var_enc, latent, latent_var = slice_pred(
             cfg.global_head, gout.dim_latent_pred, gout.dim_latent_var,
@@ -140,8 +160,8 @@ def main():
             feats[: len(cfg.noc_head.featmap_strides)], det_rois,
             _align_strides(cfg, cfg.noc_head.featmap_strides),
             (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
-            cfg.noc_head.finest_scale, max_ratio=2, tile_h=32)
-        flip = jnp.zeros((B * M,), bool)
+            cfg.noc_head.finest_scale, max_ratio=MAX_RATIO_14, tile_h=32)
+        flip = jnp.zeros((B * K,), bool)
         nout = m.noc_head(nf, latent, flat_labels, flip, train=False)
         coords_3d, coords_3d_var = NOCCoder(
             cfg.noc_head.noc_means, cfg.noc_head.noc_stds
@@ -158,18 +178,18 @@ def main():
         coords_2d_roi = roi_grid_centers(det_rois, (dsz, dsz))
         istd = jnp.exp(-proj_logstd) / cfg.pose_head.std_scale
         n_pts = dsz * dsz
-        spd = jnp.repeat(shapes, M, axis=0)
+        spd = jnp.repeat(shapes, K, axis=0)
         border = cfg.pose_head.allowed_border
         u_range = jnp.stack(
-            [jnp.full((B * M,), -border), spd[:, 1] + border], -1)
+            [jnp.full((B * K,), -border), spd[:, 1] + border], -1)
         v_range = jnp.stack(
-            [jnp.full((B * M,), -border), spd[:, 0] + border], -1)
+            [jnp.full((B * K,), -border), spd[:, 0] + border], -1)
         rh = coords_2d_roi[:, -1, 0, 1] - coords_2d_roi[:, 0, 0, 1]
         pnp = pnp_uncert(
-            coords_2d_roi.reshape(B * M, n_pts, 2),
-            istd.reshape(B * M, n_pts, 2),
-            coords_3d.reshape(B * M, n_pts, 3),
-            jnp.repeat(cam, M, axis=0), u_range, v_range,
+            coords_2d_roi.reshape(B * K, n_pts, 2),
+            istd.reshape(B * K, n_pts, 2),
+            coords_3d.reshape(B * K, n_pts, 3),
+            jnp.repeat(cam, K, axis=0), u_range, v_range,
             ransac_thr=cfg.pose_head.epnp_ransac_thres_ratio * rh,
             rng=key,
             cfg=PnPConfig(
