@@ -84,6 +84,12 @@ class BBoxHeadConfig:
     reg_class_agnostic: bool = False
     finest_scale: float = 20.0      # RoI extractor level mapping
     featmap_strides: Tuple[int, ...] = (2, 4, 8, 16, 32)
+    # adaptive bin-sampling cap for the 7x7 aligns. mmcv RoIAlign with
+    # sampling_ratio=0 averages ceil(span/bins) samples per bin UNCAPPED
+    # (reference configs/kitti_multiclass.py:40); 6 covers every RoI the
+    # mmdet level mapping admits up to effective aspect ~4.6 and is
+    # golden-parity tested (tests/test_golden_detector.py)
+    align_max_ratio: int = 6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -128,6 +134,9 @@ class NOCHeadConfig:
     featmap_strides: Tuple[int, ...] = (2, 4, 8, 16, 32)
     roi_size: int = 14
     dense_size: int = 28
+    # adaptive bin-sampling cap for the 14x14 align (see
+    # BBoxHeadConfig.align_max_ratio; 4 is mmcv-exact at this grid)
+    align_max_ratio: int = 4
     carafe_up_kernel: int = 5
     carafe_encoder_kernel: int = 3
     carafe_compressed_channels: int = 64

@@ -41,17 +41,9 @@ from .score_head import ScoreHead
 
 Array = jnp.ndarray
 
-# Adaptive-sampling caps for the RoI aligns. mmcv RoIAlign with
-# sampling_ratio=0 averages ceil(span/bins) samples per bin UNCAPPED
-# (reference binding configs/kitti_multiclass.py:40,85); a fixed cap
-# keeps the interp matrices static. 6 (7x7) / 4 (14x14) cover every RoI
-# the mmdet level assignment admits up to effective aspect ratio ~4.6;
-# the old cap of 3 measurably skewed wide (car-shaped) boxes at their
-# assigned level (composed 3D golden parity, tests/test_golden_detector
-# .py) — beyond these caps only boxes already moved by the long-span
-# level cap deviate (ops/roi_align.py:assign_fpn_levels).
-MAX_RATIO_7 = 6
-MAX_RATIO_14 = 4
+# Adaptive-sampling caps for the RoI aligns come from
+# cfg.bbox_head.align_max_ratio (7x7) / cfg.noc_head.align_max_ratio
+# (14x14) — see config.py for the mmcv-exactness rationale.
 
 
 class Detections(NamedTuple):
@@ -217,7 +209,7 @@ class MonoRUn(nn.Module):
         roi_feats = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24,
+            cfg.bbox_head.finest_scale, max_ratio=cfg.bbox_head.align_max_ratio, tile_h=24,
             pyramid=pyr,
         )
         cls_logits, deltas = self.bbox_head(roi_feats)
@@ -258,7 +250,7 @@ class MonoRUn(nn.Module):
         reg_feats = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24,
+            cfg.bbox_head.finest_scale, max_ratio=cfg.bbox_head.align_max_ratio, tile_h=24,
             pyramid=pyr,
         )
         gout = self.global_head(reg_feats, train=False, rng=rng_mc)
@@ -274,7 +266,7 @@ class MonoRUn(nn.Module):
             feats[: len(cfg.noc_head.featmap_strides)], det_rois,
             _align_strides(cfg, cfg.noc_head.featmap_strides),
             (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
-            cfg.noc_head.finest_scale, max_ratio=MAX_RATIO_14, tile_h=32,
+            cfg.noc_head.finest_scale, max_ratio=cfg.noc_head.align_max_ratio, tile_h=32,
             pyramid=pyr,
         )
         flip = jnp.zeros((B * K,), bool)
@@ -532,7 +524,7 @@ def _train_forward(
     roi_feats = multilevel_roi_align_auto(
         feats[: len(cfg.bbox_head.featmap_strides)], rois,
         _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-        cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24,
+        cfg.bbox_head.finest_scale, max_ratio=cfg.bbox_head.align_max_ratio, tile_h=24,
             pyramid=pyr,
     )
     cls_logits, deltas = self.bbox_head(roi_feats)
@@ -637,7 +629,7 @@ def _train_forward(
     reg_feats = multilevel_roi_align_auto(
         feats[: len(cfg.bbox_head.featmap_strides)], pos_rois,
         _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-        cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24,
+        cfg.bbox_head.finest_scale, max_ratio=cfg.bbox_head.align_max_ratio, tile_h=24,
             pyramid=pyr,
     )
     gout = self.global_head(reg_feats, train=True, rng=rng_gh)
@@ -659,7 +651,7 @@ def _train_forward(
         feats[: len(cfg.noc_head.featmap_strides)], pos_rois,
         _align_strides(cfg, cfg.noc_head.featmap_strides),
         (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
-        cfg.noc_head.finest_scale, max_ratio=MAX_RATIO_14, tile_h=32,
+        cfg.noc_head.finest_scale, max_ratio=cfg.noc_head.align_max_ratio, tile_h=32,
             pyramid=pyr,
     )
     flip_pos = jnp.repeat(batch["flip"], P)

@@ -108,7 +108,7 @@ def warm_start(
     front, taking (B, raw_height, raw_width, 3) uint8 + native (h, w)),
     and the carry glue runs on the uint8 canvas.
     """
-    from ..models.detector import MAX_RATIO_7, MAX_RATIO_14, _align_strides
+    from ..models.detector import _align_strides
 
     h, w = cfg.data.pad_height, cfg.data.pad_width
     B = batch
@@ -202,16 +202,17 @@ def warm_start(
     builders = {
         "band": lambda: _align_micro(
             n_prop, bbox_strides, (7, 7), cfg.bbox_head.finest_scale,
-            MAX_RATIO_7, 24, n_lv,
+            cfg.bbox_head.align_max_ratio, 24, n_lv,
         ),
         "sorted7": lambda: _align_micro(
             n_det, bbox_strides, (7, 7), cfg.bbox_head.finest_scale,
-            MAX_RATIO_7, 24, n_lv,
+            cfg.bbox_head.align_max_ratio, 24, n_lv,
         ),
         "sorted14": lambda: _align_micro(
             n_det, noc_strides,
             (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
-            cfg.noc_head.finest_scale, MAX_RATIO_14, 32, n_lv_noc,
+            cfg.noc_head.finest_scale, cfg.noc_head.align_max_ratio, 32,
+            n_lv_noc,
         ),
         "backbone": _backbone,
         "heads": _heads_fn,

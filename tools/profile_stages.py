@@ -20,11 +20,7 @@ import numpy as np
 
 from monorun_tpu.coders import DimCoder, NOCCoder, ProjErrorCoder
 from monorun_tpu.config import get_config
-from monorun_tpu.models.detector import (
-    MAX_RATIO_7,
-    MAX_RATIO_14,
-    _align_strides,
-)
+from monorun_tpu.models.detector import _align_strides
 from monorun_tpu.models import init_detector
 from monorun_tpu.models.bbox_head import get_det_bboxes
 from monorun_tpu.models.global_head import slice_pred
@@ -96,7 +92,7 @@ def main():
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24)
+            cfg.bbox_head.finest_scale, max_ratio=cfg.bbox_head.align_max_ratio, tile_h=24)
         return feats, rf
 
     def upto_bbox(m, x):
@@ -105,7 +101,7 @@ def main():
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24)
+            cfg.bbox_head.finest_scale, max_ratio=cfg.bbox_head.align_max_ratio, tile_h=24)
         cls_logits, deltas = m.bbox_head(rf)
         det = jax.vmap(lambda r, cl, dl, vv: get_det_bboxes(
             r, cl, dl, vv, pad_shape, cfg.bbox_head, tc.score_thr,
@@ -133,7 +129,7 @@ def main():
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24)
+            cfg.bbox_head.finest_scale, max_ratio=cfg.bbox_head.align_max_ratio, tile_h=24)
         gout = m.global_head(rf, train=False, rng=key)
         dim_enc, dim_var_enc, latent, latent_var = slice_pred(
             cfg.global_head, gout.dim_latent_pred, gout.dim_latent_var,
@@ -148,7 +144,7 @@ def main():
         rf = multilevel_roi_align_auto(
             feats[: len(cfg.bbox_head.featmap_strides)], det_rois,
             _align_strides(cfg, cfg.bbox_head.featmap_strides), (7, 7),
-            cfg.bbox_head.finest_scale, max_ratio=MAX_RATIO_7, tile_h=24)
+            cfg.bbox_head.finest_scale, max_ratio=cfg.bbox_head.align_max_ratio, tile_h=24)
         gout = m.global_head(rf, train=False, rng=key)
         dim_enc, dim_var_enc, latent, latent_var = slice_pred(
             cfg.global_head, gout.dim_latent_pred, gout.dim_latent_var,
@@ -160,7 +156,7 @@ def main():
             feats[: len(cfg.noc_head.featmap_strides)], det_rois,
             _align_strides(cfg, cfg.noc_head.featmap_strides),
             (cfg.noc_head.roi_size, cfg.noc_head.roi_size),
-            cfg.noc_head.finest_scale, max_ratio=MAX_RATIO_14, tile_h=32)
+            cfg.noc_head.finest_scale, max_ratio=cfg.noc_head.align_max_ratio, tile_h=32)
         flip = jnp.zeros((B * K,), bool)
         nout = m.noc_head(nf, latent, flat_labels, flip, train=False)
         coords_3d, coords_3d_var = NOCCoder(
