@@ -166,6 +166,9 @@ class PoseHeadConfig:
     std_scale: float = 10.0
     ransac_hypotheses: int = 32
     lm_iters: int = 8
+    # exact second-order LS Hessian for the pose covariance (reference
+    # hessian.py:5-64; shipped OFF at configs/kitti_multiclass.py:128)
+    forward_exact_hessian: bool = False
     # starts at 0 and is switched on by the default loss_schedule entry
     # (reference LossUpdaterHook, configs/kitti_multiclass.py:315-325)
     loss_calib_weight: float = 0.0

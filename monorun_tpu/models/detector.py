@@ -324,6 +324,7 @@ class MonoRUn(nn.Module):
                 inlier_opt_only=cfg.pose_head.inlier_opt_only,
                 ransac_hypotheses=cfg.pose_head.ransac_hypotheses,
                 lm_iters=cfg.pose_head.lm_iters,
+                exact_hessian=cfg.pose_head.forward_exact_hessian,
             ),
         )
 
@@ -776,6 +777,7 @@ def _train_forward(
             inlier_opt_only=cfg.pose_head.inlier_opt_only,
             ransac_hypotheses=cfg.pose_head.ransac_hypotheses,
             lm_iters=cfg.pose_head.lm_iters,
+                exact_hessian=cfg.pose_head.forward_exact_hessian,
         ),
     )
     # sanitize the (stop-gradient) covariance BEFORE calibration: the

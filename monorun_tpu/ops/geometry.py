@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -231,6 +232,50 @@ def approx_hessian(
         u_range, v_range, z_min, yaw, t_vec, inlier_mask,
     )
     return jnp.einsum("bni,bnj->bij", jac, jac)
+
+
+def exact_hessian(
+    coords_2d: Array,
+    coords_2d_istd: Array,
+    coords_3d: Array,
+    cam_mats: Array,
+    u_range: Array,
+    v_range: Array,
+    z_min: float,
+    yaw: Array,
+    t_vec: Array,
+    inlier_mask: Optional[Array],
+) -> Array:
+    """Exact LS Hessian, shape (b, 4, 4). Mirrors hessian.py:5-64.
+
+    The reference differentiates J^T e (the analytic gradient of the
+    half-squared residual objective) once more w.r.t. the 4-vector pose
+    via autograd on a x4-replicated batch; here the same quantity is one
+    ``jax.jacfwd`` of the analytic gradient per RoI (vmapped). Equals
+    approx_hessian (Gauss-Newton J^T J) plus the second-order residual
+    curvature term sum_i e_i * d2 e_i / d pose^2, which the reference
+    drops by default (forward_exact_hessian=False, configs/
+    kitti_multiclass.py:128)."""
+    def grad_of(c2d, istd, c3d, K, ur, vr, msk, pose):
+        def g(p):
+            jac, err = jacobian_and_error(
+                c2d[None], istd[None], c3d[None], K[None],
+                ur[None], vr[None], z_min, p[None, :1], p[None, 1:],
+                msk,
+            )
+            return jnp.einsum("bni,bn->i", jac, err)
+        return jax.jacfwd(g)(pose)
+
+    pose = jnp.concatenate([yaw, t_vec], axis=1)          # (b, 4)
+    if inlier_mask is None:
+        return jax.vmap(
+            lambda *a: grad_of(*a[:6], None, a[6])
+        )(coords_2d, coords_2d_istd, coords_3d, cam_mats,
+          u_range, v_range, pose)
+    return jax.vmap(
+        lambda *a: grad_of(*a[:6], a[6][None], a[7])
+    )(coords_2d, coords_2d_istd, coords_3d, cam_mats,
+      u_range, v_range, inlier_mask, pose)
 
 
 def project_points(

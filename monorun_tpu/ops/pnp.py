@@ -59,6 +59,12 @@ class PnPConfig:
     lm_lambda_down: float = 0.25
     coord_istd_normalize: bool = False
     eps: float = 1e-6
+    # use the exact LS Hessian (Gauss-Newton J^T J + second-order
+    # residual curvature, reference hessian.py:5-64) for the pose
+    # covariance instead of the LM carry's J^T J. The reference ships
+    # this OFF (forward_exact_hessian=False, configs/
+    # kitti_multiclass.py:128); provided for parity completeness
+    exact_hessian: bool = False
 
 
 class PnPResult(NamedTuple):
@@ -420,9 +426,20 @@ def pnp_uncert(
         coords_2d, istd, coords_3d, cam_mats, u_range, v_range,
         yaw0, t0, opt_mask, cfg,
     )
-    # cov = (J^T J)^{-1} with PD guard (pnp_uncert.py:77-85); the Hessian
-    # comes straight out of the LM carry (already at the final pose,
-    # entry-major so the whole guard+inverse stays on the lane axis)
+    # cov = H^{-1} with PD guard (pnp_uncert.py:77-85); the default
+    # Hessian comes straight out of the LM carry (J^T J at the final
+    # pose, entry-major so the guard+inverse stays on the lane axis);
+    # cfg.exact_hessian swaps in the full second-order Hessian
+    if cfg.exact_hessian:
+        from .geometry import exact_hessian as _eh
+
+        hess = jnp.transpose(
+            _eh(
+                coords_2d, istd, coords_3d, cam_mats, u_range, v_range,
+                cfg.z_min, yaw, t, opt_mask,
+            ),
+            (1, 2, 0),
+        )
     cov_valid = spd_valid_packed(hess, rel=1e-9)
     h_safe = jnp.where(cov_valid[None, None], hess, jnp.eye(4)[:, :, None])
     cov = spd_inverse_packed(h_safe)

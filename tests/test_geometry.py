@@ -181,3 +181,119 @@ def test_project_points_dense():
     expect = (K @ cam)[:2] / max(cam[2], 0.5)
     expect = np.clip(expect, -200, [1220 + 200, 370 + 200])
     np.testing.assert_allclose(uv[i, y, x], expect, rtol=1e-3)
+
+
+def test_exact_hessian_matches_finite_differences():
+    """exact_hessian (reference hessian.py:5-64: autograd of J^T e wrt
+    the pose) must match central finite differences of the analytic
+    gradient and reduce to approx_hessian + curvature term."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monorun_tpu.ops.geometry import (
+        approx_hessian,
+        exact_hessian,
+        jacobian_and_error,
+    )
+
+    rng = np.random.default_rng(3)
+    b, n = 3, 24
+    X = rng.normal(0, 1, (b, n, 3)).astype(np.float32)
+    yaw = rng.uniform(-1, 1, (b, 1)).astype(np.float32)
+    t = np.stack([rng.uniform(-1, 1, b), rng.uniform(-0.5, 0.5, b),
+                  rng.uniform(6, 9, b)], 1).astype(np.float32)
+    K = np.tile(np.asarray(
+        [[700.0, 0, 600], [0, 700.0, 180], [0, 0, 1]], np.float32),
+        (b, 1, 1))
+    # observations = projections + noise (so residuals are nonzero and
+    # the second-order term is exercised)
+    c, s = np.cos(yaw[:, 0]), np.sin(yaw[:, 0])
+    R = np.stack([np.stack([c, 0 * c, s], -1),
+                  np.stack([0 * c, 1 + 0 * c, 0 * c], -1),
+                  np.stack([-s, 0 * c, c], -1)], 1)
+    Xc = np.einsum("bij,bnj->bni", R, X) + t[:, None]
+    uv = np.einsum("bij,bnj->bni", K, Xc)
+    uv = uv[..., :2] / uv[..., 2:3]
+    uv = (uv + rng.normal(0, 2.0, uv.shape)).astype(np.float32)
+    istd = rng.uniform(0.5, 2.0, (b, n, 2)).astype(np.float32)
+    ur = np.tile(np.asarray([[-200.0, 1440.0]], np.float32), (b, 1))
+    vr = np.tile(np.asarray([[-200.0, 580.0]], np.float32), (b, 1))
+
+    args = (jnp.asarray(uv), jnp.asarray(istd), jnp.asarray(X),
+            jnp.asarray(K), jnp.asarray(ur), jnp.asarray(vr), 0.5)
+    H = np.asarray(exact_hessian(*args, jnp.asarray(yaw), jnp.asarray(t),
+                                 None))
+    assert np.isfinite(H).all()
+    np.testing.assert_allclose(
+        H, np.swapaxes(H, 1, 2), atol=1e-6 * float(np.abs(H).max())
+    )
+
+    def grad(pose_flat):
+        p = pose_flat.reshape(b, 4)
+        jac, err = jacobian_and_error(
+            *args, p[:, :1], p[:, 1:], None
+        )
+        return np.asarray(jnp.einsum("bni,bn->bi", jac, err)).ravel()
+
+    pose = np.concatenate([yaw, t], 1).astype(np.float64).ravel()
+    eps = 1e-3
+    fd = np.zeros((b * 4, b * 4))
+    for j in range(b * 4):
+        e = np.zeros_like(pose)
+        e[j] = eps
+        fd[:, j] = (grad((pose + e).astype(np.float32))
+                    - grad((pose - e).astype(np.float32))) / (2 * eps)
+    fd_blocks = np.stack([fd[i * 4:(i + 1) * 4, i * 4:(i + 1) * 4]
+                          for i in range(b)])
+    scale = np.abs(fd_blocks).max()
+    np.testing.assert_allclose(H, fd_blocks, atol=5e-3 * scale)
+
+    # the Gauss-Newton part must dominate but NOT equal the exact H
+    Ha = np.asarray(approx_hessian(*args, jnp.asarray(yaw), jnp.asarray(t),
+                                   None))
+    assert np.abs(H - Ha).max() > 1e-3 * scale
+
+
+def test_pnp_uncert_exact_hessian_path():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monorun_tpu.ops.pnp import PnPConfig, pnp_uncert
+
+    rng = np.random.default_rng(0)
+    b, n = 2, 64
+    X = rng.normal(0, 1, (b, n, 3)).astype(np.float32)
+    yaw = rng.uniform(-1, 1, b).astype(np.float32)
+    t = np.stack([rng.uniform(-1, 1, b), rng.uniform(-0.5, 0.5, b),
+                  rng.uniform(6, 9, b)], 1).astype(np.float32)
+    K = np.tile(np.asarray(
+        [[700.0, 0, 600], [0, 700.0, 180], [0, 0, 1]], np.float32),
+        (b, 1, 1))
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.stack([np.stack([c, 0 * c, s], -1),
+                  np.stack([0 * c, 1 + 0 * c, 0 * c], -1),
+                  np.stack([-s, 0 * c, c], -1)], 1)
+    Xc = np.einsum("bij,bnj->bni", R, X) + t[:, None]
+    uv = np.einsum("bij,bnj->bni", K, Xc)
+    uv = (uv[..., :2] / uv[..., 2:3]).astype(np.float32)
+    istd = np.ones((b, n, 2), np.float32)
+    ur = np.tile(np.asarray([[-200.0, 1440.0]], np.float32), (b, 1))
+    vr = np.tile(np.asarray([[-200.0, 580.0]], np.float32), (b, 1))
+
+    outs = {}
+    for ex in (False, True):
+        r = pnp_uncert(
+            jnp.asarray(uv), jnp.asarray(istd), jnp.asarray(X),
+            jnp.asarray(K), jnp.asarray(ur), jnp.asarray(vr),
+            ransac_thr=jnp.full((b,), 20.0), rng=jax.random.PRNGKey(0),
+            cfg=PnPConfig(exact_hessian=ex),
+        )
+        assert bool(np.all(np.asarray(r.valid))), ex
+        outs[ex] = np.asarray(r.pose_cov)
+    # on noise-free data the residuals ~0, so exact ~= Gauss-Newton
+    np.testing.assert_allclose(outs[True], outs[False], rtol=0.2,
+                               atol=1e-6)
