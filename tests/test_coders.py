@@ -2,12 +2,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from monorun_tpu.coders import (
+
     DimCoder,
     NOCCoder,
     ProjErrorCoder,
     decode_rotation,
     encode_rotation,
 )
+
+import pytest
+
+pytestmark = pytest.mark.smoke  # seconds-fast numeric core
 
 
 def test_dim_coder_roundtrip():

@@ -18,6 +18,8 @@ from monorun_tpu.config import get_config
 from monorun_tpu.data.kitti import KITTI3DDataset
 from monorun_tpu.data.pipeline import prepare_test_sample
 
+pytestmark = pytest.mark.smoke  # seconds-fast numeric core
+
 
 @pytest.fixture(scope="module")
 def kitti_dir(tmp_path_factory):

@@ -3,10 +3,15 @@
 import numpy as np
 
 from monorun_tpu.eval.kitti_eval import (
+
     clean_data,
     get_thresholds,
     kitti_eval,
 )
+
+import pytest
+
+pytestmark = pytest.mark.smoke  # seconds-fast numeric core
 
 
 def _gt(names, bboxes, locs=None, dims=None, rys=None, trunc=None, occ=None):

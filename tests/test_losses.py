@@ -2,12 +2,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from monorun_tpu.losses import (
+
     kl_loss_mv,
     robust_kl_loss,
     sigmoid_bce_loss,
     smooth_l1_loss,
     softmax_ce_loss,
 )
+
+import pytest
+
+pytestmark = pytest.mark.smoke  # seconds-fast numeric core
 
 
 def test_smooth_l1_matches_definition():

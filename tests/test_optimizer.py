@@ -7,6 +7,10 @@ clip_by_group_norms and param_grad_stats against hand-computed values.
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.smoke  # seconds-fast numeric core
+
 def test_clip_by_group_norms_paramwise():
     """Per-param-group clipping (reference OptimizerHookMod paramwise_cfg,
     runner/hooks/optimizer.py:72-92): each group is clipped by its own

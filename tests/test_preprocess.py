@@ -9,10 +9,15 @@ import jax.numpy as jnp
 
 from monorun_tpu.config import get_config
 from monorun_tpu.data.pipeline import (
+
     device_preprocess,
     normalize_pad,
     scale_intrinsics,
 )
+
+import pytest
+
+pytestmark = pytest.mark.smoke  # seconds-fast numeric core
 
 
 def _raw(h, w, seed=0):
