@@ -537,7 +537,11 @@ def multilevel_roi_align_auto(
                 impl != "band"
                 and os.environ.get("MONORUN_BAND_MATMUL", "0") == "1"
             )
-            kroi_default = "16" if matmul else "8"
+            # serving A/B at batch 8 (identical checksums): kroi=4 reads
+            # 128.6 fps end-to-end vs 127.0 at kroi=8 (isolated: 18.6 vs
+            # 19.15 ms at 8k dense-layout RoIs) — smaller blocks waste
+            # fewer padded slots per band run
+            kroi_default = "16" if matmul else "4"
             import jax.numpy as _jnp
 
             return multilevel_roi_align_band(
